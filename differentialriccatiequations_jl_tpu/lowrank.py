@@ -1,0 +1,306 @@
+"""Low-rank symmetric indefinite (LDLᵀ) factorizations as static-shape pytrees.
+
+TPU-native re-design of the reference's lazy ``LDLᵀ`` sum-of-factorizations
+(/root/reference/src/LDLt.jl).  The reference stores a *list* of terms
+``Σᵢ αᵢ Lᵢ Dᵢ Lᵢᵀ`` whose ranks grow and shrink dynamically; XLA requires
+static shapes, so here a factorization is a single padded buffer pair
+
+    ``X ≈ L[:, :k] @ D[:k, :k] @ L[:, :k].T``
+
+with
+
+* ``L: (n, r)``  — outer factor, columns ``>= k`` are exactly zero,
+* ``D: (r, r)``  — symmetric inner factor, zero outside ``[:k, :k]``,
+* ``k: ()``      — traced active (storage) rank.
+
+The zero-padding *invariant* means most linear algebra needs no masking at
+all: ``L @ D @ L.T`` is exact, QR of ``L`` produces zero columns in ``R``
+for the padded region, etc.  Rank growth (``lr_add``) writes the second
+term's active columns at a traced offset via padded dynamic slices; rank
+shrinkage is column compression (``lr_compress``) = QR + eigendecomposition +
+truncation, mirroring the reference's `compress!` (LDLt.jl:204-225) but with
+SVD-free plain QR (the reference itself uses an SVD `orthf` on GPU where
+pivoted QR is unavailable, test/cuda.jl:32-37).
+
+The static buffer width ``r`` is a *shape* hyperparameter: solvers bucket it
+(see `round_up`) so jit caches stay warm across time steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import COMPRESSION_RTOL_FACTOR, register_pytree_dataclass
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class LowRank:
+    """Padded low-rank factorization ``L[:, :k] D[:k, :k] L[:, :k]ᵀ``."""
+
+    L: jax.Array  # (n, r)
+    D: jax.Array  # (r, r)
+    k: jax.Array  # () int32 active rank
+
+    @property
+    def n(self) -> int:
+        return self.L.shape[0]
+
+    @property
+    def r(self) -> int:
+        """Static buffer width (storage capacity), analog of `rank(::LDLᵀ)`."""
+        return self.L.shape[1]
+
+    @property
+    def dtype(self):
+        return self.L.dtype
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    # Convenience aliases mirroring the verbs of the reference API.
+    def to_dense(self) -> jax.Array:
+        return lr_to_dense(self)
+
+    def norm(self) -> jax.Array:
+        return lr_norm(self)
+
+
+def _mask_cols(L: jax.Array, k) -> jax.Array:
+    """Zero columns with index >= k."""
+    r = L.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    return jnp.where(col < k, L, 0)
+
+
+def _mask_inner(D: jax.Array, k) -> jax.Array:
+    """Zero entries outside the leading [:k, :k] block."""
+    r = D.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    return jnp.where((row < k) & (col < k), D, 0)
+
+
+def lowrank(L: jax.Array, D: jax.Array | None = None, k=None) -> LowRank:
+    """Construct a `LowRank` from (possibly unpadded) factors.
+
+    Analog of `lowrank(L, D)` (/root/reference/src/LDLt.jl:25-28).  ``D`` may
+    be a matrix, a 1-D vector of diagonal entries, or ``None`` (identity).
+    ``k`` defaults to the full width of ``L`` and may be traced; factors are
+    masked to establish the zero-padding invariant.
+    """
+    L = jnp.asarray(L)
+    r = L.shape[1]
+    if D is None:
+        D = jnp.eye(r, dtype=L.dtype)
+    else:
+        D = jnp.asarray(D, dtype=L.dtype)
+        if D.ndim == 1:
+            D = jnp.diag(D)
+    if D.shape != (r, r):
+        raise ValueError(f"inner factor must be ({r},{r}), got {D.shape}")
+    if k is None:
+        k = jnp.int32(r)
+    else:
+        k = jnp.asarray(k, jnp.int32)
+        L = _mask_cols(L, k)
+        D = _mask_inner(D, k)
+    return LowRank(L=L, D=D, k=k)
+
+
+def lr_zero(n: int, r: int, dtype) -> LowRank:
+    """Rank-0 factorization with storage capacity ``r`` (LDLt.jl:116-121)."""
+    return LowRank(
+        L=jnp.zeros((n, r), dtype),
+        D=jnp.zeros((r, r), dtype),
+        k=jnp.int32(0),
+    )
+
+
+def lr_with_capacity(X: LowRank, r_new: int) -> LowRank:
+    """Return ``X`` with the static buffer grown/shrunk to width ``r_new``.
+
+    Shrinking below the active rank silently truncates storage columns (run
+    `lr_compress` first to make truncation numerically meaningful).
+    """
+    r = X.r
+    if r_new == r:
+        return X
+    if r_new > r:
+        pad = r_new - r
+        L = jnp.pad(X.L, ((0, 0), (0, pad)))
+        D = jnp.pad(X.D, ((0, pad), (0, pad)))
+        return LowRank(L=L, D=D, k=X.k)
+    L = X.L[:, :r_new]
+    D = X.D[:r_new, :r_new]
+    return LowRank(L=L, D=D, k=jnp.minimum(X.k, r_new))
+
+
+def lr_scale(alpha, X: LowRank) -> LowRank:
+    """``alpha * X``; analog of `*(::Real, ::LDLᵀ)` (LDLt.jl:156-159)."""
+    return LowRank(L=X.L, D=jnp.asarray(alpha, X.D.dtype) * X.D, k=X.k)
+
+
+def lr_neg(X: LowRank) -> LowRank:
+    return lr_scale(-1.0, X)
+
+
+def _shift_cols(L: jax.Array, offset) -> jax.Array:
+    """Shift columns right by a traced ``offset``, dropping overflow.
+
+    Implemented as a dynamic slice of a zero-extended buffer so the offset may
+    be traced while shapes stay static.
+    """
+    n, r = L.shape
+    big = jnp.concatenate([jnp.zeros((n, r), L.dtype), L], axis=1)
+    start = jnp.int32(r) - jnp.asarray(offset, jnp.int32)
+    return jax.lax.dynamic_slice(big, (jnp.int32(0), start), (n, r))
+
+
+def _shift_diag(D: jax.Array, offset) -> jax.Array:
+    """Shift the inner factor diagonally by a traced ``offset``."""
+    r = D.shape[0]
+    big = jnp.pad(D, ((r, 0), (r, 0)))
+    start = jnp.int32(r) - jnp.asarray(offset, jnp.int32)
+    return jax.lax.dynamic_slice(big, (start, start), (r, r))
+
+
+def lr_add(X: LowRank, Y: LowRank, r_out: int | None = None) -> LowRank:
+    """Lazy sum ``X + Y``: append ``Y``'s active term after ``X``'s.
+
+    Analog of `+(::LDLᵀ, ::LDLᵀ)` (LDLt.jl:131-148) — no arithmetic beyond
+    placement, rank adds.  The output buffer width is ``r_out`` (default:
+    ``max(X.r, Y.r)``).  Columns of ``Y`` beyond the remaining capacity are
+    **dropped**; orchestrating code compresses before capacity is exceeded
+    (cf. the ADI's `compression_interval`, lyapunov/types.jl:27).
+    """
+    if X.n != Y.n:
+        raise ValueError(f"outer dimensions must match, got {X.n} and {Y.n}")
+    r_out = r_out if r_out is not None else max(X.r, Y.r)
+    Xb = lr_with_capacity(X, r_out)
+    Yb = lr_with_capacity(Y, r_out)
+    off = jnp.minimum(Xb.k, jnp.int32(r_out))
+    L = Xb.L + _shift_cols(Yb.L, off)
+    D = Xb.D + _shift_diag(Yb.D, off)
+    k = jnp.minimum(Xb.k + Yb.k, jnp.int32(r_out))
+    return LowRank(L=L, D=D, k=k)
+
+
+def lr_sub(X: LowRank, Y: LowRank, r_out: int | None = None) -> LowRank:
+    return lr_add(X, lr_neg(Y), r_out=r_out)
+
+
+def lr_concat_terms(terms, r_out: int | None = None) -> LowRank:
+    """Concatenate several factorizations: analog of `concatenate!` applied to
+    a fresh sum of terms (LDLt.jl:174-191)."""
+    acc = terms[0]
+    if r_out is not None:
+        acc = lr_with_capacity(acc, r_out)
+    for t in terms[1:]:
+        acc = lr_add(acc, t, r_out=acc.r if r_out is None else r_out)
+    return acc
+
+
+def lr_to_dense(X: LowRank) -> jax.Array:
+    """Materialize ``n × n`` matrix — for testing, like `Matrix(::LDLᵀ)`."""
+    return X.L @ X.D @ X.L.T
+
+
+@partial(jax.jit, static_argnames=())
+def lr_norm(X: LowRank) -> jax.Array:
+    """Frobenius norm without forming the n×n matrix.
+
+    ``‖L D Lᵀ‖_F = ‖R D Rᵀ‖_F`` for any QR factorization ``L = QR`` —
+    the Benner–Li–Penzl trick used by `norm(::LDLᵀ)` (LDLt.jl:77-89).
+    Zero-padded columns of ``L`` yield zero columns of ``R``, so no masking
+    is required.
+    """
+    R = jnp.linalg.qr(X.L, mode="r")
+    S = R @ X.D @ R.T
+    return jnp.linalg.norm(S)
+
+
+@jax.jit
+def lr_dot(X: LowRank, Y: LowRank) -> jax.Array:
+    """Frobenius inner product ``tr(X Y)`` (LDLt.jl:91-108).
+
+    ``tr(L₁D₁L₁ᵀ L₂D₂L₂ᵀ) = tr(D₁ M D₂ Mᵀ)`` with the small
+    ``M = L₁ᵀL₂`` — padded columns contribute zeros.
+    """
+    M = X.L.T @ Y.L
+    return jnp.trace(X.D @ M @ Y.D @ M.T)
+
+
+def lr_rank(X: LowRank):
+    """Active storage rank (LDLt.jl:112)."""
+    return X.k
+
+
+def _robust_eigh(S: jax.Array):
+    """`eigh` hardened against entry magnitudes spanning ~30 orders.
+
+    XLA's eigh produces NaNs on exactly-rank-deficient projected inner
+    factors whose dead block is ~eps² relative (observed on CPU with
+    jax 0.9); normalizing by the largest entry and flushing relative
+    ~eps² entries to zero — far below any compression threshold — makes
+    it robust without affecting kept eigenvalues.
+    """
+    scale = jnp.max(jnp.abs(S))
+    safe = jnp.where(scale > 0, scale, 1.0)
+    finfo = jnp.finfo(S.dtype)
+    Sx = S / safe
+    Sx = jnp.where(jnp.abs(Sx) < finfo.eps**2, 0.0, Sx)
+    lam, V = jnp.linalg.eigh(Sx)
+    return lam * safe, V
+
+
+@partial(jax.jit, static_argnames=("r_out",))
+def lr_compress(X: LowRank, r_out: int | None = None) -> LowRank:
+    """Column compression: QR + eigendecomposition + truncation.
+
+    Analog of `compress!` (LDLt.jl:204-225) following Lang/Mena/Saak 2015.
+    The reference's `orthf` uses pivoted QR, unavailable on accelerator
+    backends — like its own GPU configuration (test/cuda.jl:32-37) we use the
+    unpivoted factorization; the subsequent eigendecomposition of the
+    projected inner factor does the rank revealing.
+
+    Truncation keeps eigenvalues with ``|λ| ≥ 100 · max|λ| · eps``; kept
+    columns are packed to the front (eigenvalues sorted by decreasing
+    magnitude) so the zero-padding invariant holds for the result.
+    """
+    n, r = X.L.shape
+    m = min(n, r)
+    Q, R = jnp.linalg.qr(X.L)  # Q: (n, m), R: (m, r)
+    S = R @ X.D @ R.T
+    S = 0.5 * (S + S.T)
+    lam, V = _robust_eigh(S)  # ascending by value
+    order = jnp.argsort(-jnp.abs(lam))
+    lam = lam[order]
+    V = V[:, order]
+    finfo = jnp.finfo(X.L.dtype)
+    cut = COMPRESSION_RTOL_FACTOR * jnp.max(jnp.abs(lam)) * finfo.eps
+    cut = jnp.maximum(cut, finfo.tiny)
+    keep = jnp.abs(lam) > cut
+    k_new = jnp.sum(keep).astype(jnp.int32)
+    lam = jnp.where(keep, lam, 0)
+    L_new = Q @ (V * keep[None, :].astype(V.dtype))  # (n, m)
+    D_new = jnp.diag(lam)
+    r_out = r_out if r_out is not None else r
+    if m < r_out:
+        L_new = jnp.pad(L_new, ((0, 0), (0, r_out - m)))
+        D_new = jnp.pad(D_new, ((0, r_out - m), (0, r_out - m)))
+    elif m > r_out:
+        L_new = L_new[:, :r_out]
+        D_new = D_new[:r_out, :r_out]
+        k_new = jnp.minimum(k_new, r_out)
+    return LowRank(L=L_new, D=D_new, k=k_new)
+
+
+def round_up(k: int, bucket: int = 16) -> int:
+    """Bucket a storage width to limit jit recompiles across time steps."""
+    return max(bucket, -(-int(k) // bucket) * bucket)

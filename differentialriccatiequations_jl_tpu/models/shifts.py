@@ -1,0 +1,317 @@
+"""ADI shift parameter strategies (L3).
+
+Re-design of the reference's `Shifts` module (src/Shifts.jl, src/shifts/*):
+
+* `Projection(u)`  — self-generating Galerkin shifts from the last `u`
+  increment factors (Benner–Kürschner–Saak 2014; shifts/projection.jl).
+* `Heuristic(nshifts, kp, km)` — Penzl's heuristic sub-optimal shifts via
+  Arnoldi Ritz values of E⁻¹A and A⁻¹E (Penzl 1999 Alg 5.1;
+  shifts/heuristic.jl).
+* `Cyclic(inner_or_values)`, `Wrapped(func, inner)` — combinators
+  (shifts/helpers.jl:19-58).
+
+Device/host split: subspace assembly, orthonormalization and Galerkin
+projection run jitted on device; the tiny (k ≤ ~40) *nonsymmetric
+generalized* eigenproblem has no XLA kernel and is evaluated on host — the
+same CPU hop the reference makes explicitly via `adapt(Matrix, ·)`
+(projection.jl:64-67).  Strategy configs are frozen/hashable; runtime state
+lives in small host-side oracle objects driven by the reference's protocol
+`init / update! / take!` (Shifts.jl:80-116).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from ..config import default_dtype
+from ..ops.operators import as_operator, restrict
+from ..ops.blocklinear import Backslash, prepare
+from ..ops.shifted import default_inner_alg
+
+
+# --- strategy configs ---------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Projection:
+    n_history: int = 2
+
+    def __post_init__(self):
+        if self.n_history % 2 != 0:
+            # ADI double-steps contribute factor pairs (projection.jl:28-31)
+            raise ValueError(f"History must be even; got {self.n_history}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Heuristic:
+    nshifts: int
+    kp: int  # Arnoldi steps w.r.t. E⁻¹A
+    km: int  # Arnoldi steps w.r.t. A⁻¹E
+    alg_E: object = Backslash()
+    alg_A: object = None  # default: routed by operator kind
+
+
+@dataclasses.dataclass(frozen=True)
+class Cyclic:
+    """Cycle through precomputed values or one batch of the inner strategy."""
+
+    inner: object  # Strategy or sequence of shift values
+
+
+@dataclasses.dataclass(frozen=True)
+class Wrapped:
+    """Apply `func` to every batch produced by the inner strategy."""
+
+    func: object
+    inner: object
+
+
+# --- helpers (shifts/helpers.jl) ---------------------------------------------
+
+
+def safe_sort(shifts: np.ndarray) -> np.ndarray:
+    """Sort keeping complex-conjugate pairs adjacent (helpers.jl:122)."""
+    return np.array(sorted(shifts, key=lambda v: (v.real, abs(v.imag))))
+
+
+def is_stable(v) -> np.ndarray:
+    return np.real(v) < 0
+
+
+def flip(v: np.ndarray) -> np.ndarray:
+    return -np.real(v) + 1j * np.imag(v)
+
+
+def stabilize_ritz_values(lam: np.ndarray, desc: str) -> np.ndarray:
+    """Discard unstable Ritz values; flip all if none stable
+    (helpers.jl:129-140)."""
+    assert len(lam) > 0
+    unstable = ~is_stable(lam)
+    n_unstable = int(np.sum(unstable))
+    if 0 < n_unstable < len(lam):
+        warnings.warn(f"Discarding unstable Ritz values of {desc}")
+        lam = lam[is_stable(lam)]
+    elif n_unstable == len(lam):
+        warnings.warn(
+            f"All Ritz values of {desc} are unstable; flipping along imaginary axis"
+        )
+        lam = flip(lam)
+    return lam
+
+
+@jax.jit
+def _orth(N: jax.Array):
+    """SVD-based orthonormal basis with singular values (rank cut on host).
+
+    Analog of `orth` (Stuff.jl:13-18); SVD replaces pivoted QR exactly as the
+    reference's own GPU configuration does (test/cuda.jl:32-37).
+    """
+    U, s, _ = jnp.linalg.svd(N, full_matrices=False)
+    return U, s
+
+
+def orth(N) -> jax.Array:
+    U, s = _orth(jnp.asarray(N))
+    s = np.asarray(s)
+    smax = s[0] if len(s) else 0.0
+    cut = N.shape[0] * np.finfo(np.asarray(U).dtype).eps * max(smax, 1.0)
+    k = int(np.sum(s > cut))
+    return U[:, :k]
+
+
+# --- oracle protocol ----------------------------------------------------------
+
+
+class ShiftOracle:
+    """Runtime shift generator: `update` is cheap, `take` may be expensive
+    (Shifts.jl:88-116)."""
+
+    def update(self, X, W, *Vs) -> None:  # noqa: D401
+        pass
+
+    def take(self) -> complex:
+        raise NotImplementedError
+
+    def take_many(self) -> list:
+        raise NotImplementedError
+
+
+class BufferedOracle(ShiftOracle):
+    """Buffer batches from `take_many`, pop one-by-one (helpers.jl:70-113)."""
+
+    def __init__(self):
+        self._buffer: list = []
+
+    def take(self) -> complex:
+        if not self._buffer:
+            self._buffer = list(self.take_many())
+        return complex(self._buffer.pop(0))
+
+
+class CyclicOracle(ShiftOracle):
+    def __init__(self, values):
+        self._values = [complex(v) for v in values]
+        self._i = 0
+
+    def take(self) -> complex:
+        v = self._values[self._i % len(self._values)]
+        self._i += 1
+        return v
+
+    def take_many(self) -> list:
+        return list(self._values)
+
+
+class WrappedOracle(BufferedOracle):
+    def __init__(self, func, inner: ShiftOracle):
+        super().__init__()
+        self.func = func
+        self.inner = inner
+
+    def update(self, X, W, *Vs) -> None:
+        self.inner.update(X, W, *Vs)
+
+    def take_many(self) -> list:
+        return list(self.func(self.inner.take_many()))
+
+
+class ProjectionOracle(BufferedOracle):
+    """Galerkin-projection shifts (shifts/projection.jl:38-72)."""
+
+    def __init__(self, E, A, n_history: int):
+        super().__init__()
+        self.E = E
+        self.A = A
+        self.n_history = n_history
+        self.Vs: list = []
+
+    def update(self, X, W, *Vs) -> None:
+        # On the initial update (no increments yet), seed with the residual
+        # factor (projection.jl:45-52).
+        if not Vs:
+            self.Vs.append(W)
+        self.Vs.extend(Vs)
+        self.Vs = self.Vs[-self.n_history:]
+
+    def take_many(self) -> list:
+        N = jnp.concatenate([jnp.asarray(V) for V in self.Vs], axis=1)
+        Q = orth(N)
+        Et = np.asarray(restrict(self.E, Q))
+        At = np.asarray(restrict(self.A, Q))
+        lam = scipy.linalg.eig(At, Et, right=False)
+        lam = stabilize_ritz_values(lam, "(A, E)")
+        lam = safe_sort(lam)
+        # Prune spurious (infinite/NaN) generalized eigenvalues.
+        lam = lam[np.isfinite(lam)]
+        if len(lam) == 0:
+            raise RuntimeError("projection shifts: no finite stable Ritz values")
+        return list(lam)
+
+
+# --- Penzl heuristic (shifts/heuristic.jl) ------------------------------------
+
+
+def _arnoldi_ritz(matvec, n: int, k: int, dtype, desc: str) -> np.ndarray:
+    """k-step Arnoldi from the all-ones start vector, with repeated MGS;
+    Ritz values of the Hessenberg matrix (heuristic.jl:103-130)."""
+    H = np.zeros((k + 1, k))
+    b0 = jnp.ones((n,), dtype)
+    V = [b0 / jnp.linalg.norm(b0)]
+    for j in range(k):
+        w = matvec(V[j])
+        for _ in range(2):  # repeated MGS
+            for i in range(j + 1):
+                g = jnp.vdot(V[i], w)
+                H[i, j] += float(g)
+                w = w - V[i] * g
+        beta = float(jnp.linalg.norm(w))
+        H[j + 1, j] = beta
+        if beta == 0.0:
+            k = j + 1
+            H = H[: k + 1, :k]
+            break
+        V.append(w / beta)
+    ritz = np.linalg.eigvals(H[:k, :k])
+    return stabilize_ritz_values(ritz, desc)
+
+
+def heuristic(R: np.ndarray, nshifts: int) -> list:
+    """Penzl's greedy min-max selection over the Ritz value set
+    (heuristic.jl:82-101)."""
+    R = np.asarray(R)
+
+    def s(t, P):
+        return np.prod([abs(t - p) / abs(t + p) for p in P])
+
+    # p minimizing the max of s(t, {p}) over t in R:
+    best, best_val = None, np.inf
+    for p in R:
+        val = max(s(t, (p,)) for t in R)
+        if val < best_val:
+            best, best_val = p, val
+    P = [best] if np.isreal(best) else [best, np.conj(best)]
+    while len(P) < nshifts:
+        # t maximizing s(t, P):
+        best, best_val = None, -np.inf
+        for t in R:
+            val = s(t, P)
+            if val > best_val:
+                best, best_val = t, val
+        if np.isreal(best):
+            P.append(best)
+        else:
+            P.extend((best, np.conj(best)))
+    return [complex(v) for v in P]
+
+
+def _heuristic_shifts(strategy: Heuristic, E, A) -> list:
+    E = as_operator(E)
+    A = as_operator(A)
+    n = E.shape[0]
+    dtype = default_dtype()
+    alg_A = strategy.alg_A if strategy.alg_A is not None else default_inner_alg(A)
+    solver_E = prepare(E, strategy.alg_E)
+    Rp = _arnoldi_ritz(lambda x: solver_E.solve(A.mm(x)), n, strategy.kp,
+                       dtype, "E⁻¹A")
+    solver_A = prepare(A, alg_A)
+    Rm = _arnoldi_ritz(lambda x: solver_A.solve(E.mm(x)), n, strategy.km,
+                       dtype, "A⁻¹E")
+    R = np.concatenate([Rp, 1.0 / Rm])
+    return heuristic(R, strategy.nshifts)
+
+
+class HeuristicOracle(BufferedOracle):
+    def __init__(self, shifts):
+        super().__init__()
+        self._shifts = list(shifts)
+
+    def take_many(self) -> list:
+        return list(self._shifts)
+
+
+# --- init dispatch (Shifts.init) ----------------------------------------------
+
+
+def init_shifts(strategy, prob) -> ShiftOracle:
+    """`Shifts.init(strategy, prob) -> oracle` (Shifts.jl:80-86)."""
+    if isinstance(strategy, Projection):
+        return ProjectionOracle(prob.E, prob.A, strategy.n_history)
+    if isinstance(strategy, Heuristic):
+        return HeuristicOracle(_heuristic_shifts(strategy, prob.E, prob.A))
+    if isinstance(strategy, Cyclic):
+        inner = strategy.inner
+        if isinstance(inner, (Projection, Heuristic, Cyclic, Wrapped)):
+            return CyclicOracle(init_shifts(inner, prob).take_many())
+        return CyclicOracle(inner)  # precomputed values
+    if isinstance(strategy, Wrapped):
+        return WrappedOracle(strategy.func, init_shifts(strategy.inner, prob))
+    if isinstance(strategy, ShiftOracle):
+        return strategy  # pre-initialized (GMRES `specialize`, gmres.jl:122-134)
+    raise TypeError(f"unknown shift strategy {strategy!r}")

@@ -1,0 +1,36 @@
+from .operators import (
+    DenseOp,
+    LowRankUpdateOp,
+    lr_update,
+    as_operator,
+    restrict,
+    operator_nnz,
+)
+from .blocklinear import (
+    BlockLinearProblem,
+    Backslash,
+    ShermanMorrisonWoodbury,
+    Krylov,
+    prepare,
+    solve_blocklinear,
+)
+from .shifted import shifted_operator, prepare_shifted, solve_shifted, default_inner_alg
+
+__all__ = [
+    "DenseOp",
+    "LowRankUpdateOp",
+    "lr_update",
+    "as_operator",
+    "restrict",
+    "operator_nnz",
+    "BlockLinearProblem",
+    "Backslash",
+    "ShermanMorrisonWoodbury",
+    "Krylov",
+    "prepare",
+    "solve_blocklinear",
+    "shifted_operator",
+    "prepare_shifted",
+    "solve_shifted",
+    "default_inner_alg",
+]

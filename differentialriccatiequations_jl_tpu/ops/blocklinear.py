@@ -1,0 +1,171 @@
+"""Block linear solvers: ``A X = B`` with multiple right-hand sides.
+
+TPU-native layer L2 (see SURVEY.md §1), replacing the reference's
+`blocklinear/` (types.jl, backslash.jl, sherman-morrison-woodbury.jl).
+
+Differences forced by the hardware:
+
+* The reference's workhorse `Backslash` is a *sparse LU* — unavailable on
+  TPU.  Here `Backslash` is a dense LU on device (MXU-friendly for the
+  n ≤ ~8k regime) and `Krylov` is the matrix-free path for block-sparse
+  operators (jax.scipy BiCGStab/CG/GMRES with Jacobi preconditioning).
+* Factorizations are explicit *prepared solver* pytrees so one LU is reused
+  across all right-hand sides and across outer iterations — the analog of
+  the reference's `init`/`solve!` solver caching (blocklinear/types.jl:15-30).
+
+`ShermanMorrisonWoodbury` solves ``(A + α⁻¹UV)X = B`` with two base solves
+and one small dense solve, caching ``A⁻¹U`` and the Schur complement
+``S = αI + V A⁻¹U`` (sherman-morrison-woodbury.jl:10-47).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..config import register_pytree_dataclass
+from .operators import DenseOp, LowRankUpdateOp, as_operator
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockLinearProblem:
+    """``A X = B`` (blocklinear/types.jl:10-13)."""
+
+    A: object
+    B: jax.Array
+
+
+# --- algorithm configs (static, hashable — analog of Julia's @kwdef structs) --
+
+
+@dataclasses.dataclass(frozen=True)
+class Backslash:
+    """Direct dense solve via LU factorization on device."""
+
+
+@dataclasses.dataclass(frozen=True)
+class ShermanMorrisonWoodbury:
+    """SMW for `LowRankUpdateOp` coefficients: ``(A + α⁻¹UV)X = B``.
+
+    `outer` solves against the base operator (the reference's ``ALG``),
+    `inner` the small dense Schur complement (the reference's ``alg``).
+    """
+
+    outer: object = Backslash()
+    inner: object = Backslash()
+
+
+@dataclasses.dataclass(frozen=True)
+class Krylov:
+    """Matrix-free iterative solve (for block-sparse operators).
+
+    method: "bicgstab" (general), "cg" (symmetric definite), "gmres".
+    """
+
+    method: str = "bicgstab"
+    tol: float = 1e-12
+    atol: float = 0.0
+    maxiter: int = 1000
+    restart: int = 40  # gmres only
+
+
+# --- prepared solvers (pytrees) ----------------------------------------------
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseLUSolver:
+    lu: jax.Array
+    piv: jax.Array
+
+    def solve(self, B: jax.Array) -> jax.Array:
+        B = jnp.asarray(B, self.lu.dtype)
+        return jsl.lu_solve((self.lu, self.piv), B)
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class SMWSolver:
+    """Cached SMW pieces: base solver, ``A⁻¹U``, factored Schur complement."""
+
+    base: object  # prepared solver for A
+    AinvU: jax.Array  # (n, m)
+    V: jax.Array  # (m, n)
+    schur: object  # prepared solver for S = αI + V A⁻¹U
+
+    def solve(self, B: jax.Array) -> jax.Array:
+        AinvB = self.base.solve(B)
+        t = self.schur.solve(self.V @ AinvB)
+        return AinvB - self.AinvU @ t
+
+
+@register_pytree_dataclass(meta_fields=("cfg",))
+@dataclasses.dataclass(frozen=True)
+class KrylovSolver:
+    op: object
+    diag: jax.Array  # Jacobi preconditioner diagonal
+    cfg: Krylov
+
+    def solve(self, B: jax.Array) -> jax.Array:
+        from jax.scipy.sparse import linalg as spla
+
+        cfg = self.cfg
+        mv = self.op.mm
+        pinv = 1.0 / self.diag
+        precond = lambda x: pinv[:, None] * x if x.ndim == 2 else pinv * x
+        if cfg.method == "cg":
+            x, _ = spla.cg(mv, B, tol=cfg.tol, atol=cfg.atol,
+                           maxiter=cfg.maxiter, M=precond)
+        elif cfg.method == "gmres":
+            x, _ = spla.gmres(mv, B, tol=cfg.tol, atol=cfg.atol,
+                              maxiter=cfg.maxiter, restart=cfg.restart,
+                              M=precond, solve_method="batched")
+        else:
+            x, _ = spla.bicgstab(mv, B, tol=cfg.tol, atol=cfg.atol,
+                                 maxiter=cfg.maxiter, M=precond)
+        return x
+
+
+def _extract_diag(op) -> jax.Array:
+    if isinstance(op, LowRankUpdateOp):
+        base = _extract_diag(op.A)
+        return base + (1.0 / op.alpha) * jnp.einsum("ij,ji->i", op.U, op.V)
+    if isinstance(op, DenseOp):
+        return jnp.diagonal(op.M)
+    return op.diag()  # sparse ops implement .diag()
+
+
+def prepare(A, alg) -> object:
+    """Build a prepared (factored) solver for operator ``A`` under ``alg``.
+
+    Analog of `CommonSolve.init(::BlockLinearProblem, alg)`.
+    """
+    A = as_operator(A)
+    if isinstance(alg, Backslash):
+        if isinstance(A, LowRankUpdateOp):
+            # A direct solve of a lazy update materializes; prefer SMW.
+            return prepare(A, ShermanMorrisonWoodbury())
+        M = A.to_dense()
+        lu, piv = jsl.lu_factor(M)
+        return DenseLUSolver(lu=lu, piv=piv)
+    if isinstance(alg, ShermanMorrisonWoodbury):
+        if not isinstance(A, LowRankUpdateOp):
+            raise TypeError("SMW requires a LowRankUpdateOp coefficient")
+        base = prepare(A.A, alg.outer)
+        AinvU = base.solve(A.U)
+        m = A.U.shape[1]
+        S = A.alpha * jnp.eye(m, dtype=AinvU.dtype) + A.V @ AinvU
+        schur = prepare(DenseOp(S), alg.inner)
+        return SMWSolver(base=base, AinvU=AinvU, V=A.V, schur=schur)
+    if isinstance(alg, Krylov):
+        return KrylovSolver(op=A, diag=_extract_diag(A), cfg=alg)
+    raise TypeError(f"unknown block linear algorithm {alg!r}")
+
+
+def solve_blocklinear(A, B: jax.Array, alg=Backslash()) -> jax.Array:
+    """One-shot ``solve(BlockLinearProblem(A, B), alg)``."""
+    return prepare(A, alg).solve(B)

@@ -1,0 +1,160 @@
+"""Property tests for the padded LowRank (LDLᵀ) pytree.
+
+Mirrors /root/reference/test/LDLt.jl: arithmetic laws, dense conversion,
+compression correctness including storage rank ≠ numerical rank, and
+definite/scaled/indefinite inner factors.
+"""
+
+import numpy as np
+import pytest
+
+import differentialriccatiequations_jl_tpu as dre
+from differentialriccatiequations_jl_tpu.lowrank import (
+    lowrank,
+    lr_add,
+    lr_compress,
+    lr_dot,
+    lr_norm,
+    lr_scale,
+    lr_sub,
+    lr_to_dense,
+    lr_with_capacity,
+    lr_zero,
+)
+
+rng = np.random.default_rng(42)
+N, R = 20, 5
+
+
+def make(n=N, r=R, kind="definite", seed=0):
+    g = np.random.default_rng(seed)
+    L = g.standard_normal((n, r))
+    if kind == "definite":
+        D = np.eye(r)
+    elif kind == "scaled":
+        D = 3.0 * np.eye(r)
+    else:  # indefinite
+        d = g.standard_normal(r)
+        d[np.abs(d) < 0.1] = 0.5
+        D = np.diag(d)
+    return lowrank(L, D)
+
+
+@pytest.mark.parametrize("kind", ["definite", "scaled", "indefinite"])
+def test_to_dense_and_norm(kind):
+    X = make(kind=kind)
+    M = np.asarray(lr_to_dense(X))
+    assert M.shape == (N, N)
+    assert np.allclose(float(lr_norm(X)), np.linalg.norm(M), rtol=1e-12)
+
+
+def test_add_scale_laws():
+    X = make(seed=1)
+    Y = make(seed=2)
+    Mx, My = np.asarray(lr_to_dense(X)), np.asarray(lr_to_dense(Y))
+    S = lr_add(X, Y, r_out=X.r + Y.r)
+    assert np.allclose(np.asarray(lr_to_dense(S)), Mx + My)
+    assert int(S.k) == int(X.k) + int(Y.k)
+    assert np.allclose(np.asarray(lr_to_dense(lr_scale(-2.5, X))), -2.5 * Mx)
+    Dm = lr_sub(X, Y, r_out=X.r + Y.r)
+    assert np.allclose(np.asarray(lr_to_dense(Dm)), Mx - My)
+
+
+def test_dot():
+    X, Y = make(seed=3), make(seed=4)
+    Mx, My = np.asarray(lr_to_dense(X)), np.asarray(lr_to_dense(Y))
+    assert np.allclose(float(lr_dot(X, Y)), np.trace(Mx @ My), rtol=1e-12)
+
+
+def test_zero():
+    Z = lr_zero(N, R, np.float64)
+    assert int(Z.k) == 0
+    assert np.allclose(np.asarray(lr_to_dense(Z)), 0.0)
+    assert float(lr_norm(Z)) == 0.0
+    X = make()
+    S = lr_add(X, Z, r_out=X.r + Z.r)
+    assert np.allclose(np.asarray(lr_to_dense(S)), np.asarray(lr_to_dense(X)))
+
+
+@pytest.mark.parametrize("kind", ["definite", "scaled", "indefinite"])
+def test_compress_exact(kind):
+    X = make(kind=kind, seed=5)
+    M = np.asarray(lr_to_dense(X))
+    Xc = lr_compress(X)
+    assert np.allclose(np.asarray(lr_to_dense(Xc)), M, atol=1e-10)
+    assert int(Xc.k) <= int(X.k)
+
+
+def test_compress_rank_deficient():
+    # storage rank > numerical rank (test/LDLt.jl:76-90)
+    g = np.random.default_rng(7)
+    L1 = g.standard_normal((N, 3))
+    L = np.concatenate([L1, L1], axis=1)  # duplicated columns
+    X = lowrank(L, np.eye(6))
+    Xc = lr_compress(X)
+    assert int(Xc.k) == 3
+    assert np.allclose(
+        np.asarray(lr_to_dense(Xc)), np.asarray(lr_to_dense(X)), atol=1e-10
+    )
+
+
+def test_compress_cancellation():
+    # ‖X − X‖ numerically zero (test/LDLt.jl:66) and compression keeps it so
+    X = make(seed=8)
+    Z = lr_sub(X, X, r_out=2 * X.r)
+    nX = float(lr_norm(X))
+    assert float(lr_norm(Z)) / np.finfo(np.float64).eps < 10 * N * nX
+    Zc = lr_compress(Z)
+    assert np.allclose(np.asarray(lr_to_dense(Zc)), 0.0, atol=1e-12 * nX)
+
+
+def test_compress_inner_rank_drop():
+    # storage rank ≠ numerical rank via zeroed inner factor
+    # (test/LDLt.jl:83-90)
+    g = np.random.default_rng(12)
+    L = g.standard_normal((N, 4))
+    D = np.zeros((4, 4))
+    D[0, 0] = 13.0
+    X = lowrank(L, D)
+    Xc = lr_compress(X)
+    assert int(Xc.k) == 1
+    assert np.allclose(
+        np.asarray(lr_to_dense(Xc)), np.asarray(lr_to_dense(X)), atol=1e-10
+    )
+
+
+def test_capacity_roundtrip():
+    X = make(seed=9)
+    M = np.asarray(lr_to_dense(X))
+    Xg = lr_with_capacity(X, R + 7)
+    assert Xg.r == R + 7 and np.allclose(np.asarray(lr_to_dense(Xg)), M)
+    Xs = lr_with_capacity(Xg, R)
+    assert Xs.r == R and np.allclose(np.asarray(lr_to_dense(Xs)), M)
+
+
+def test_add_offset_placement():
+    # second term must land at the traced offset k1 even after compression
+    X = lr_compress(make(seed=10))  # k may be < r
+    Y = make(seed=11)
+    S = lr_add(X, Y, r_out=X.r + Y.r)
+    assert np.allclose(
+        np.asarray(lr_to_dense(S)),
+        np.asarray(lr_to_dense(X)) + np.asarray(lr_to_dense(Y)),
+        atol=1e-10,
+    )
+
+
+def test_vector_diag_constructor():
+    L = rng.standard_normal((N, 3))
+    d = np.array([1.0, -2.0, 3.0])
+    X = lowrank(L, d)
+    assert np.allclose(np.asarray(lr_to_dense(X)), L @ np.diag(d) @ L.T)
+
+
+def test_capacity_exceeding_n():
+    # buffers wider than n (r > n) must still compress correctly
+    X = lowrank(rng.standard_normal((4, 9)), np.eye(9))
+    M = np.asarray(lr_to_dense(X))
+    Xc = lr_compress(X)
+    assert int(Xc.k) <= 4
+    assert np.allclose(np.asarray(lr_to_dense(Xc)), M, atol=1e-12)
