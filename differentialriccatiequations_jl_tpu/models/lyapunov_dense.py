@@ -78,7 +78,9 @@ def _replay_rhs(Ctil: jax.Array, Minvs: jax.Array, cs: jax.Array) -> jax.Array:
         return C_next, None
 
     C_final, _ = jax.lax.scan(body, Ctil, (Minvs, cs))
-    return -0.5 * C_final
+    # Z₀ = [[M, 0], [C̃, −Mᵀ]] has sign [[−I, 0], [−2X̂, I]] with
+    # MᵀX̂ + X̂M = C̃; our GALE reduces to MᵀX + XM = −C̃, so X = +C_∞/2.
+    return 0.5 * C_final
 
 
 @register_pytree_dataclass
