@@ -15,17 +15,23 @@ Array), device placement here is controlled by `jax.sharding` — see
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 
 # Double precision is load-bearing: ADI/Newton convergence tolerances are
-# ~n*eps and the oracle comparisons are at 1e-10.
-jax.config.update("jax_enable_x64", True)
+# ~n*eps and the oracle comparisons are at 1e-10.  Opt out with DRE_X64=0
+# for raw-throughput f32 benchmarking (also: Mosaic index transforms fail to
+# legalize on the TPU backend under global x64 — the Pallas kernels require
+# an x32 process).
+X64 = os.environ.get("DRE_X64", "1") != "0"
+if X64:
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 #: Default element type for problem data and solver internals.
-DEFAULT_DTYPE = jnp.float64
+DEFAULT_DTYPE = jnp.float64 if X64 else jnp.float32
 
 #: Relative truncation factor used by low-rank column compression.
 #: Mirrors the reference's `100 * maximum(abs, λ) * eps()` cut

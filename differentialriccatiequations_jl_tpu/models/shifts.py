@@ -32,7 +32,7 @@ import scipy.linalg
 
 from ..config import default_dtype
 from ..ops.operators import as_operator, restrict
-from ..ops.blocklinear import Backslash, prepare
+from ..ops.blocklinear import prepare
 from ..ops.shifted import default_inner_alg
 
 
@@ -54,8 +54,8 @@ class Heuristic:
     nshifts: int
     kp: int  # Arnoldi steps w.r.t. E⁻¹A
     km: int  # Arnoldi steps w.r.t. A⁻¹E
-    alg_E: object = Backslash()
-    alg_A: object = None  # default: routed by operator kind
+    alg_E: object = None  # default: routed by operator kind (dense LU / Krylov)
+    alg_A: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -276,8 +276,9 @@ def _heuristic_shifts(strategy: Heuristic, E, A) -> list:
     A = as_operator(A)
     n = E.shape[0]
     dtype = default_dtype()
+    alg_E = strategy.alg_E if strategy.alg_E is not None else default_inner_alg(E)
     alg_A = strategy.alg_A if strategy.alg_A is not None else default_inner_alg(A)
-    solver_E = prepare(E, strategy.alg_E)
+    solver_E = prepare(E, alg_E)
     Rp = _arnoldi_ritz(lambda x: solver_E.solve(A.mm(x)), n, strategy.kp,
                        dtype, "E⁻¹A")
     solver_A = prepare(A, alg_A)

@@ -1,0 +1,145 @@
+"""Compiled (single-jit) ADI / Ros1 step and multi-device sharding tests.
+
+The sharding test is the analog of the reference's CPU-vs-GPU trajectory
+comparison (test/cuda.jl:86-101): single-device vs 8-virtual-device mesh
+execution must agree.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import differentialriccatiequations_jl_tpu as dre
+from differentialriccatiequations_jl_tpu import ADI, GALEProblem, lowrank, solve
+from differentialriccatiequations_jl_tpu.lowrank import lr_to_dense, lr_with_capacity
+from differentialriccatiequations_jl_tpu.models.compiled import (
+    CompiledConfig,
+    adi_compiled,
+    ros1_step_compiled,
+)
+from differentialriccatiequations_jl_tpu.lowrank import lr_zero
+from differentialriccatiequations_jl_tpu.models import residual, solve_gale_host
+from differentialriccatiequations_jl_tpu.models.shifts import Cyclic, Heuristic, init_shifts
+from differentialriccatiequations_jl_tpu.ops import DenseOp
+from differentialriccatiequations_jl_tpu.utils.testmat import (
+    rail_surrogate_dense,
+    random_pencil,
+    random_rhs_lowrank,
+)
+
+N = 48
+
+
+def test_adi_compiled_matches_host_driver():
+    E, A = random_pencil(N, seed=3)
+    G, S = random_rhs_lowrank(N, 3, seed=4)
+    C = lowrank(G, S)
+    prob = GALEProblem(E, A, C)
+
+    # Heuristic shifts, precomputed (the compiled path consumes a buffer).
+    oracle = init_shifts(Cyclic(Heuristic(8, 8, 8)), prob)
+    shifts = jnp.asarray(oracle.take_many(), jnp.complex128)
+
+    q = 3
+    W0 = jnp.asarray(G)
+    T0 = jnp.asarray(S)
+    X0 = lr_zero(N, 64, jnp.float64)
+    cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=q)
+    abstol = 1e-11 * float(dre.lr_norm(C))
+    X, W, iters, res = adi_compiled(prob.E, prob.A, W0, T0, jnp.int32(q), X0,
+                                    shifts, abstol, cfg)
+    assert float(res) <= abstol
+    rel = float(dre.lr_norm(residual(prob, X))) / float(dre.lr_norm(C))
+    assert rel < 1e-10
+
+    X_ref = np.asarray(solve_gale_host(E, A, np.asarray(lr_to_dense(C))))
+    err = np.linalg.norm(np.asarray(lr_to_dense(X)) - X_ref)
+    assert err / np.linalg.norm(X_ref) < 1e-9
+
+
+def _ros1_inputs(n=N, cap=64):
+    E, A, B, C = rail_surrogate_dense(n)
+    q = C.shape[0]
+    L0 = np.linalg.solve(np.asarray(E), np.asarray(C).T)
+    X0 = lr_with_capacity(lowrank(L0, 0.01 * np.eye(q)), cap)
+    return DenseOp(E), DenseOp(A), B, C, X0
+
+
+def test_ros1_step_compiled_matches_host_driver():
+    from differentialriccatiequations_jl_tpu import GDREProblem, Ros1
+    from differentialriccatiequations_jl_tpu.models.shifts import Projection
+
+    E_op, A_op, B, C, X0 = _ros1_inputs()
+    tau = 20.0
+
+    # Host driver: one step of Ros1 with heuristic shifts.
+    prob = GDREProblem(E_op, A_op, B, C, X0, (4500.0, 4500.0 - tau))
+    adi = ADI(shifts=Cyclic(Heuristic(10, 10, 10)), maxiters=60)
+    ref = solve(prob, Ros1(inner_alg=adi), dt=-tau)
+    K_ref = np.asarray(ref.K[-1])
+
+    # Compiled step with the same shift set.
+    lyap_prob = GALEProblem(E_op, A_op, lowrank(np.asarray(C).T))
+    shifts = jnp.asarray(
+        init_shifts(Cyclic(Heuristic(10, 10, 10)), lyap_prob).take_many(),
+        jnp.complex128,
+    )
+    cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=24)
+    X1, K1, iters, res = ros1_step_compiled(
+        E_op, A_op, jnp.asarray(B), jnp.asarray(C), X0,
+        jnp.asarray(tau), shifts, jnp.asarray(1e-12), cfg,
+    )
+    assert np.linalg.norm(np.asarray(K1) - K_ref) / np.linalg.norm(K_ref) < 1e-8
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    from differentialriccatiequations_jl_tpu.parallel.mesh import (
+        make_mesh,
+        shard_lowrank,
+        shard_operator,
+        shard_replicated,
+    )
+
+    n = 64
+    E_op, A_op, B, C, X0 = _ros1_inputs(n=n, cap=48)
+    shifts = jnp.asarray([-0.5, -1.0 + 0.5j, -1.0 - 0.5j, -2.0], jnp.complex128)
+    cfg = CompiledConfig(maxiters=8, compression_interval=4, r_res=16)
+    args = (jnp.asarray(B), jnp.asarray(C), jnp.asarray(20.0),
+            jnp.asarray(1e-9))
+
+    X1, K1, it1, res1 = ros1_step_compiled(
+        E_op, A_op, args[0], args[1], X0, args[2], shifts, args[3], cfg)
+
+    mesh = make_mesh(8)
+    E_s = shard_operator(mesh, E_op)
+    A_s = shard_operator(mesh, A_op)
+    X0_s = shard_lowrank(mesh, X0)
+    with mesh:
+        X2, K2, it2, res2 = ros1_step_compiled(
+            E_s, A_s, shard_replicated(mesh, args[0]),
+            shard_replicated(mesh, args[1]), X0_s, args[2],
+            shard_replicated(mesh, shifts), args[3], cfg)
+        jax.block_until_ready(K2)
+
+    assert int(it1) == int(it2)
+    assert np.allclose(np.asarray(K1), np.asarray(K2), rtol=1e-9, atol=1e-10)
+    assert np.allclose(
+        np.asarray(lr_to_dense(X1)), np.asarray(lr_to_dense(X2)),
+        rtol=1e-8, atol=1e-9,
+    )
+
+
+def test_graft_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn).lower(*args).compile()
+    res = fn(*args)
+    jax.block_until_ready(res[1])
+
+    ge.dryrun_multichip(8)
