@@ -94,6 +94,48 @@ def main():
         f"-> {nnz_per_s/1e9:.2f} Gnnz/s (stored), "
         f"{nnz_csr*ITERS/elapsed/1e9:.2f} Gnnz/s (csr-equivalent)")
 
+    # Secondary metric (stderr): compiled LRSIF Ros1 GDRE sweep throughput
+    # at n=1357 — the BASELINE.md "GDRE time-steps/sec" anchor.
+    if os.environ.get("BENCH_GDRE", "1") != "0":
+        try:
+            t0 = time.time()
+            import jax.numpy as jnp2
+            from differentialriccatiequations_jl_tpu import GDREProblem, lowrank
+            from differentialriccatiequations_jl_tpu.models.compiled import (
+                CompiledConfig, solve_gdre_ros1_compiled)
+            from differentialriccatiequations_jl_tpu.models.shifts import (
+                heuristic_shifts_host)
+            from differentialriccatiequations_jl_tpu.ops import DenseOp
+
+            ng = 1357
+            Eg, Ag, Bg, Cg = rail_surrogate(ng)
+            sv = heuristic_shifts_host(Eg, Ag, 16, 20, 20)
+            sv = [s.real for s in sv if abs(s.imag) < 1e-12] or [s.real for s in sv]
+            shifts = jnp.asarray(np.array(sv, np.float32))
+            qg = Cg.shape[0]
+            L0 = np.linalg.solve(Eg.toarray(), Cg.T).astype(np.float32)
+            X0 = lowrank(L0, 0.01 * np.eye(qg, dtype=np.float32))
+            nsteps = 10
+            probg = GDREProblem(
+                DenseOp(jnp.asarray(Eg.toarray(), jnp.float32)),
+                DenseOp(jnp.asarray(Ag.toarray(), jnp.float32)),
+                jnp.asarray(Bg, jnp.float32), jnp.asarray(Cg, jnp.float32),
+                X0, (4500.0, 4500.0 - 10.0 * nsteps))
+            cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=24)
+            kw = dict(dt=-10.0, shifts=shifts, cfg=cfg, capacity=128,
+                      abstol=3e-4)
+            sol = solve_gdre_ros1_compiled(probg, **kw)
+            jax.block_until_ready(sol.K[-1])
+            t1 = time.time()
+            sol = solve_gdre_ros1_compiled(probg, **kw)
+            jax.block_until_ready(sol.K[-1])
+            t2 = time.time()
+            log(f"[bench] GDRE LRSIF Ros1 compiled n={ng}: cold {t1-t0:.1f}s, "
+                f"warm {t2-t1:.2f}s -> {nsteps/(t2-t1):.2f} steps/s "
+                f"(adi_iters={sol.adi_iters})")
+        except Exception as e:  # secondary metric must not break the bench
+            log(f"[bench] GDRE secondary metric failed: {e!r}")
+
     # vs_baseline: ratio to the first recorded value of this metric.
     vs = 1.0
     hist_path = os.path.join(os.path.dirname(__file__), ".bench_history.json")

@@ -304,3 +304,16 @@ def lr_compress(X: LowRank, r_out: int | None = None) -> LowRank:
 def round_up(k: int, bucket: int = 16) -> int:
     """Bucket a storage width to limit jit recompiles across time steps."""
     return max(bucket, -(-int(k) // bucket) * bucket)
+
+
+def lr_slice_active(X: LowRank, bucket: int = 16) -> LowRank:
+    """Host-side: shrink the static buffer to the (bucketed) active rank.
+
+    Compressed factorizations keep their active columns packed in front, so
+    slicing is free; downstream wide assemblies (residual factors, RHS
+    concatenations — lyapunov/residual.jl:20, lowrank_ros1.jl:42) then scale
+    with the *numerical* rank instead of the storage capacity.  Syncs once
+    on ``X.k``.
+    """
+    r_new = min(X.r, round_up(max(int(X.k), 1), bucket))
+    return lr_with_capacity(X, r_new)

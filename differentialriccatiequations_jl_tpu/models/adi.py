@@ -38,25 +38,28 @@ from ..lowrank import (
     lr_add,
     lr_compress,
     lr_norm,
+    lr_slice_active,
     lr_with_capacity,
     lr_zero,
     round_up,
 )
 from ..utils.callbacks import notify
-from ..ops.shifted import prepare_shifted, default_inner_alg, shifted_operator
+from ..ops.blocklinear import Backslash, SMWSolver, prepare
+from ..ops.operators import DenseOp, LowRankUpdateOp
+from ..ops.shifted import prepare_shifted
 from .problems import ADI, GALEProblem
 from .residuals import residual_gale_lowrank
 from .shifts import init_shifts
 
 
-@partial(jax.jit, static_argnames=("inner_alg",))
-def _step_real(E, A, mu, W, T, X, inner_alg):
+@jax.jit
+def _step_real(E, solver, mu, W, T, X):
     """One real ADI step: V, updated residual factor, updated iterate.
 
     ``V = (Aᵀ + μEᵀ)⁻¹ W``; ``X += −2μ · V T Vᵀ``; ``W ← W − 2μ EᵀV``
-    (adi.jl:149-179).
+    (adi.jl:149-179).  ``solver`` is the prepared (possibly cached)
+    factorization of the shifted coefficient.
     """
-    solver = prepare_shifted(E, A, mu, inner_alg)
     V = solver.solve(W)
     q = W.shape[1]
     incr = LowRank(L=V, D=(-2.0 * mu) * T, k=jnp.int32(q))
@@ -65,11 +68,10 @@ def _step_real(E, A, mu, W, T, X, inner_alg):
     return V, W_new, X_new
 
 
-@partial(jax.jit, static_argnames=("inner_alg",))
-def _step_double(E, A, mu, W, T, X, inner_alg):
+@jax.jit
+def _step_double(E, solver, mu, W, T, X):
     """Complex double step for a conjugate shift pair with a single complex
     solve and real recombination V₁, V₂ (adi.jl:181-225)."""
-    solver = prepare_shifted(E, A, mu, inner_alg)
     V = solver.solve(W.astype(jnp.result_type(W.dtype, mu.dtype)))
     mur = jnp.real(mu)
     delta = mur / jnp.imag(mu)
@@ -100,10 +102,13 @@ class ADISolver:
     """Resumable ADI solver object: `init`/`step`/`solve` (adi.jl:91-95)."""
 
     def __init__(self, prob: GALEProblem, alg: ADI, *, initial_guess=None,
-                 initial_residual=None, abstol=None, observer=None):
+                 initial_residual=None, abstol=None, observer=None,
+                 shift_cache=None):
         self.prob = prob
         self.alg = alg
         self.observer = observer
+        self.shift_cache = shift_cache
+        self._solver_cache: dict = {}  # per-solve: shift -> prepared solver
         notify(observer, "gale_start", prob, alg)
 
         E, A, C = prob.E, prob.A, prob.C
@@ -113,13 +118,20 @@ class ADISolver:
         if alg.ignore_initial_guess or initial_guess is None:
             initial_guess = None
 
+        # Work on active-rank slices: wide assemblies below must scale with
+        # numerical rank, not storage capacity.
+        C_s = lr_slice_active(C)
+        if initial_guess is not None:
+            initial_guess = lr_slice_active(lr_compress(initial_guess))
+
         # Initial residual (adi.jl:40-47): for a zero/absent guess the
         # residual *is* the right-hand side.
         if initial_residual is None:
             if initial_guess is None:
-                initial_residual = C
+                initial_residual = C_s
             else:
-                initial_residual = residual_gale_lowrank(E, A, C, initial_guess)
+                initial_residual = residual_gale_lowrank(E, A, C_s,
+                                                         initial_guess)
         res = initial_residual
 
         # Freeze the static residual width from the numerical rank.
@@ -130,14 +142,17 @@ class ADISolver:
         self.W = W
         self.T = T
 
-        # Iterate buffer: warm start or rank-0 (adi.jl:40-42).
+        # Iterate buffer: warm start or rank-0 (adi.jl:40-42).  Capacity
+        # covers the growth between compressions; `_ensure_capacity` extends
+        # on demand (one recompile per new bucket).
+        k0 = initial_guess.r if initial_guess is not None else 0
         cap = alg.capacity or round_up(
-            (alg.compression_interval + 2) * 2 * q, 32
+            k0 + (alg.compression_interval + 2) * q, 32
         )
         if initial_guess is None:
             X = lr_zero(n, cap, dtype)
         else:
-            X = lr_with_capacity(lr_compress(initial_guess), max(cap, int(initial_guess.k)))
+            X = lr_with_capacity(initial_guess, max(cap, k0))
         self.X = X
 
         self.residual_norm = float(_residual_norm(W, T))
@@ -154,7 +169,7 @@ class ADISolver:
         elif alg.abstol is not None:
             self.abstol = float(alg.abstol)
         else:
-            self.abstol = reltol * float(lr_norm(C))
+            self.abstol = reltol * float(lr_norm(C_s))
 
         self.inner_alg = alg.inner_alg
         self.last_compression = 0
@@ -177,18 +192,57 @@ class ADISolver:
     def iters(self) -> int:
         return len(self.shifts)
 
+    def _solver_for(self, mu: complex):
+        """Prepared solver for ``(Aᵀ + μEᵀ)``, with two cache levels: the
+        per-solve cache (shifts repeat within a cyclic sweep) and the
+        cross-solve `ShiftedSolveCache` of factored cores (see
+        ops/shifted.py)."""
+        key = complex(mu)
+        s = self._solver_cache.get(key)
+        if s is not None:
+            return s
+        E, A = self.prob.E, self.prob.A
+        dtype = self.W.dtype
+        mu_val = (jnp.asarray(mu.real, dtype) if mu.imag == 0.0
+                  else jnp.asarray(mu, jnp.result_type(dtype, jnp.complex64)))
+        cache = self.shift_cache
+        if self.inner_alg is not None or cache is None:
+            s = prepare_shifted(E, A, mu_val, self.inner_alg)
+        elif (isinstance(A, LowRankUpdateOp) and isinstance(A.A, DenseOp)
+              and isinstance(E, DenseOp)):
+            # Cached core LU + fresh SMW correction for the feedback term.
+            core = cache.core_solver(
+                key,
+                lambda: prepare(DenseOp(A.A.M.T.astype(mu_val.dtype)
+                                        + mu_val * E.M.T), Backslash()),
+            )
+            U = A.V.T.astype(mu_val.dtype)  # (n, m) of the transposed update
+            Vt = A.U.T.astype(mu_val.dtype)  # (m, n)
+            AinvU = core.solve(U)
+            m = U.shape[1]
+            S = (jnp.asarray(A.alpha, mu_val.dtype) * jnp.eye(m, dtype=mu_val.dtype)
+                 + Vt @ AinvU)
+            s = SMWSolver(base=core, AinvU=AinvU, V=Vt,
+                          schur=prepare(DenseOp(S), Backslash()))
+        elif isinstance(A, DenseOp) and isinstance(E, DenseOp):
+            s = cache.core_solver(
+                key, lambda: prepare_shifted(E, A, mu_val, None)
+            )
+        else:
+            s = prepare_shifted(E, A, mu_val, None)
+        self._solver_cache[key] = s
+        return s
+
     def step(self) -> None:
-        alg, E, A = self.alg, self.prob.E, self.prob.A
+        alg, E = self.alg, self.prob.E
         mu = self.oracle.take()
         notify(self.observer, "gale_metadata", "ADI shifts", mu)
-        inner = self.inner_alg
         if mu.imag == 0.0:
             self.shifts.append(mu)
             self._ensure_capacity(self.q)
+            solver = self._solver_for(mu)
             m = jnp.asarray(mu.real, self.W.dtype)
-            if inner is None:
-                inner = default_inner_alg(shifted_operator(E, A, m))
-            V, self.W, self.X = _step_real(E, A, m, self.W, self.T, self.X, inner)
+            V, self.W, self.X = _step_real(E, solver, m, self.W, self.T, self.X)
             self.last_compression += 1
             self.oracle.update(self.X, self.W, V)
             collapse = not bool(jnp.any(V != 0))
@@ -199,11 +253,10 @@ class ADISolver:
                 "complex shifts must come in conjugate pairs"
             self.shifts.extend((mu, mu2))
             self._ensure_capacity(2 * self.q)
+            solver = self._solver_for(mu)
             m = jnp.asarray(mu, jnp.result_type(self.W.dtype, jnp.complex64))
-            if inner is None:
-                inner = default_inner_alg(shifted_operator(E, A, m))
-            V1, V2, self.W, self.X = _step_double(E, A, m, self.W, self.T,
-                                                  self.X, inner)
+            V1, V2, self.W, self.X = _step_double(E, solver, m, self.W, self.T,
+                                                  self.X)
             self.last_compression += 2
             self.oracle.update(self.X, self.W, V1, V2)
             collapse = not (bool(jnp.any(V1 != 0)) or bool(jnp.any(V2 != 0)))

@@ -24,8 +24,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..config import register_pytree_dataclass
 from ..lowrank import LowRank, lr_add, lr_compress
-from ..ops.operators import lin_comb, lr_update
+from ..ops.operators import LowRankUpdateOp, lin_comb, lr_update
 from ..ops.shifted import prepare_shifted, shifted_operator, default_inner_alg
 from .adi import _residual_norm
 
@@ -40,6 +41,66 @@ class CompiledConfig:
     inner_alg: object = None  # None → routed per operator kind
 
 
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShiftLUs:
+    """Batched LU factorizations of the shifted cores ``A₀ᵀ + μₛEᵀ``.
+
+    The compiled-path analog of `ops.shifted.ShiftedSolveCache`: one
+    `vmap`'d LU per shift in the cyclic buffer, hoisted out of the ADI
+    while-loop *and* out of the time loop (the core is constant across a
+    fixed-step sweep).  Inside the loop a shift costs O(n²) triangular
+    solves plus the rank-m SMW correction instead of an O(n³) refactor.
+    """
+
+    lu: jax.Array  # (ns, n, n)
+    piv: jax.Array  # (ns, n)
+
+
+@partial(jax.jit, static_argnames=())
+def build_shift_lus(E, A0, shifts) -> ShiftLUs:
+    """Factor ``A₀ᵀ + μₛEᵀ`` for every shift (dense core operators).
+
+    ``shifts`` may be real (all-real shift set) or complex; the LU dtype
+    follows.
+    """
+    import jax.scipy.linalg as jsl
+
+    At = A0.M.T
+    Et = E.M.T
+
+    def one(mu):
+        M = At.astype(jnp.result_type(At.dtype, mu.dtype)) + mu * Et
+        return jsl.lu_factor(M)
+
+    lu, piv = jax.vmap(one)(shifts)
+    return ShiftLUs(lu=lu, piv=piv)
+
+
+def _core_solver_at(shift_lus: ShiftLUs, idx):
+    from ..ops.blocklinear import DenseLUSolver
+
+    return DenseLUSolver(lu=shift_lus.lu[idx], piv=shift_lus.piv[idx])
+
+
+def _wrap_smw(core, A, dtype):
+    """SMW correction for the feedback update around a prepared core
+    (sherman-morrison-woodbury.jl:10-47)."""
+    from ..ops.blocklinear import DenseLUSolver, SMWSolver
+    import jax.scipy.linalg as jsl
+
+    if not isinstance(A, LowRankUpdateOp):
+        return core
+    U = A.V.T.astype(dtype)
+    Vt = A.U.T.astype(dtype)
+    AinvU = core.solve(U)
+    m = U.shape[1]
+    S = jnp.asarray(A.alpha, dtype) * jnp.eye(m, dtype=dtype) + Vt @ AinvU
+    slu, spiv = jsl.lu_factor(S)
+    return SMWSolver(base=core, AinvU=AinvU, V=Vt,
+                     schur=DenseLUSolver(lu=slu, piv=spiv))
+
+
 def _masked_cols(W, k):
     r = W.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
@@ -48,7 +109,7 @@ def _masked_cols(W, k):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
-                 cfg: CompiledConfig):
+                 cfg: CompiledConfig, shift_lus: ShiftLUs | None = None):
     """Low-rank ADI as a single `lax.while_loop`.
 
     Args:
@@ -73,7 +134,7 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
     """
     nshifts = shifts.shape[0]
     inner = cfg.inner_alg
-    if inner is None:
+    if inner is None and shift_lus is None:
         inner = default_inner_alg(
             shifted_operator(E, A, jnp.asarray(1.0, W0.dtype))
         )
@@ -81,18 +142,29 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
     w_k = jnp.asarray(w_k, jnp.int32)
     cdtype = jnp.result_type(W0.dtype, jnp.complex64)
 
-    def real_step(mu_c, W, T, X):
+    def _cached_solve(idx, B):
+        """Solve via the precomputed LU for shift slot ``idx`` (+ SMW)."""
+        sdt = shift_lus.lu.dtype
+        solver = _wrap_smw(_core_solver_at(shift_lus, idx), A, sdt)
+        return solver.solve(B.astype(sdt))
+
+    def real_step(mu_c, idx, W, T, X):
         mu = jnp.real(mu_c).astype(W.dtype)
-        solver = prepare_shifted(E, A, mu, inner)
-        V = solver.solve(W)
+        if shift_lus is not None:
+            V = jnp.real(_cached_solve(idx, W)).astype(W.dtype)
+        else:
+            V = prepare_shifted(E, A, mu, inner).solve(W)
         incr = LowRank(L=V, D=(-2.0 * mu) * T, k=w_k)
         W_new = W - 2.0 * mu * E.tmm(V)
         X_new = lr_add(X, incr, r_out=X.r)
         return W_new, X_new, jnp.int32(1)
 
-    def double_step(mu_c, W, T, X):
-        solver = prepare_shifted(E, A, mu_c.astype(cdtype), inner)
-        V = solver.solve(W.astype(cdtype))
+    def double_step(mu_c, idx, W, T, X):
+        if shift_lus is not None:
+            V = _cached_solve(idx, W).astype(cdtype)
+        else:
+            V = prepare_shifted(E, A, mu_c.astype(cdtype), inner).solve(
+                W.astype(cdtype))
         mur = jnp.real(mu_c).astype(W.dtype)
         delta = mur / jnp.imag(mu_c).astype(W.dtype)
         Vr, Vi = jnp.real(V).astype(W.dtype), jnp.imag(V).astype(W.dtype)
@@ -120,13 +192,14 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
         X = jax.lax.cond(do_comp, lr_compress, lambda x: x, X)
         since_comp = jnp.where(do_comp, 0, since_comp)
 
-        mu_c = shifts[ptr % nshifts]
+        idx = ptr % nshifts
+        mu_c = shifts[idx]
         is_real = jnp.imag(mu_c) == 0.0
         W, X, used = jax.lax.cond(
             is_real,
             lambda args: real_step(*args),
             lambda args: double_step(*args),
-            (mu_c, W, T0, X),
+            (mu_c, idx, W, T0, X),
         )
         since_comp = since_comp + used
         res = _residual_norm(W, T0)
@@ -141,7 +214,7 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def ros1_step_compiled(E, A, B, C, X: LowRank, tau, shifts, abstol,
-                       cfg: CompiledConfig):
+                       cfg: CompiledConfig, shift_lus: ShiftLUs | None = None):
     """One full LRSIF Ros1 (implicit Euler) GDRE time step, end to end.
 
     Mirrors the host driver (`rosenbrock_lowrank.solve_gdre_lowrank_ros1`;
@@ -174,9 +247,65 @@ def ros1_step_compiled(E, A, B, C, X: LowRank, tau, shifts, abstol,
     T0 = res0.D
 
     X_new, _, iters, res = adi_compiled(E, F, W0, T0, res0.k, X, shifts,
-                                        abstol, cfg)
+                                        abstol, cfg, shift_lus)
 
     L2, D2 = X_new.L, X_new.D
     BtLD2 = (B.T @ L2) @ D2
     K_new = BtLD2 @ E.tmm(L2).T
     return X_new, K_new, iters, res
+
+
+def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
+                             capacity: int = 128, abstol: float = None,
+                             save_state: bool = False):
+    """Full LRSIF Ros1 GDRE sweep on the compiled path.
+
+    One jitted time step (fixed shapes: iterate capacity `capacity`,
+    residual width `cfg.r_res`) reused for every step; the batched shifted
+    LUs are built **once** for the whole trajectory (τ constant ⇒ the core
+    ``(A − E/(2τ))ᵀ + μEᵀ`` never changes).  This is the TPU steady-state
+    execution mode: exactly one compilation, no host round trips besides
+    per-step bookkeeping.
+
+    ``shifts``: 1-D array of cyclic shift values (from e.g.
+    `Shifts.Heuristic`); real-valued array → all-real fast path.
+    """
+    from ..lowrank import lr_with_capacity
+    from .problems import DRESolution
+    from .rosenbrock_lowrank import time_grid
+
+    E, A, B, C = prob.E, prob.A, prob.B, prob.C
+    X = lr_with_capacity(lr_compress(prob.X0, r_out=prob.X0.r), capacity)
+    tstops = time_grid(prob.tspan, dt)
+    tau = float(tstops[0] - tstops[1])
+
+    F_base = lin_comb(A, -1.0 / (2.0 * tau), E)
+    shifts = jnp.asarray(shifts)
+    lus = build_shift_lus(E, F_base, shifts)
+
+    if abstol is None:
+        n = E.shape[0]
+        abstol = float(
+            n * jnp.finfo(B.dtype).eps * jnp.linalg.norm(C, "fro")
+        )
+    abstol = jnp.asarray(abstol, B.dtype)
+    tau_d = jnp.asarray(tau, B.dtype)
+
+    Xs = [X]
+    Ks = [None]  # filled after first step for K0 convenience
+    L0, D0 = X.L, X.D
+    K = ((B.T @ L0) @ D0) @ E.tmm(L0).T
+    Ks[0] = K
+    iters_total = 0
+    for i in range(1, len(tstops)):
+        X, K, iters, res = ros1_step_compiled(E, A, B, C, X, tau_d, shifts,
+                                              abstol, cfg, lus)
+        iters_total += int(iters)
+        Ks.append(K)
+        if save_state:
+            Xs.append(X)
+    if not save_state:
+        Xs.append(X)
+    sol = DRESolution(Xs, Ks, tstops)
+    sol.adi_iters = iters_total
+    return sol

@@ -25,6 +25,7 @@ from ..lowrank import (
     lr_compress,
     lr_norm,
     lr_scale,
+    lr_slice_active,
     lr_zero,
     round_up,
 )
@@ -66,6 +67,12 @@ def solve_gare_newton(prob: GAREProblem, alg: Newton, *, observer=None) -> LowRa
 
     inner_alg = alg.inner_alg
     inner_reltol = inner_alg.reltol if isinstance(inner_alg, ADI) and inner_alg.reltol is not None else reltol / 10.0
+
+    # The closed-loop coefficient is A − B K with constant A (newton.jl:103):
+    # shifted-core factorizations are shared across all Newton steps.
+    from ..ops.shifted import ShiftedSolveCache
+
+    shift_cache = ShiftedSolveCache()
 
     i = 0
     X_prev = None
@@ -146,10 +153,10 @@ def solve_gare_newton(prob: GAREProblem, alg: Newton, *, observer=None) -> LowRa
             inner_abstol = inner_reltol * float(lr_norm(RHS))
 
         X_prev = X
-        X = solve_gale_adi(
+        X = lr_slice_active(solve_gale_adi(
             lyap, inner_alg, abstol=inner_abstol, initial_guess=X_prev,
-            observer=observer,
-        )
+            observer=observer, shift_cache=shift_cache,
+        ))
 
     notify(observer, "gare_done", i, X, res, res_norm)
     return X

@@ -21,8 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..lowrank import LowRank, lowrank, lr_add, lr_compress, lr_scale, round_up
+from ..lowrank import (
+    LowRank,
+    lowrank,
+    lr_add,
+    lr_compress,
+    lr_scale,
+    lr_slice_active,
+    round_up,
+)
 from ..ops.operators import lin_comb, lr_update, scale_op
+from ..ops.shifted import ShiftedSolveCache
 from ..utils.callbacks import notify
 from .adi import solve_gale_adi
 from .problems import ADI, GALEProblem, GDREProblem, DRESolution, Ros1, Ros2
@@ -75,17 +84,25 @@ def solve_gdre_lowrank_ros1(prob: GDREProblem, alg: Ros1, *, dt: float,
     notify(observer, "gdre_step", float(tstops[0]), X, K)
 
     inner_alg = alg.inner_alg if alg.inner_alg is not None else ADI()
+    # Fixed-step sweep: the shifted solve core (A − E/(2τ))ᵀ + μEᵀ is
+    # constant across ALL time steps (τ constant), so one factorization
+    # cache serves the entire trajectory (see ops/shifted.ShiftedSolveCache).
+    tau0 = float(tstops[0] - tstops[1])
+    F_base = lin_comb(A, -1.0 / (2.0 * tau0), E)
+    cache = ShiftedSolveCache()
     for i in range(1, len(tstops)):
         tau = float(tstops[i - 1] - tstops[i])
 
         # Closed-loop Lyapunov coefficient F = (A − E/(2τ)) − B K
         # (lowrank_ros1.jl:39).
-        F = lr_update(lin_comb(A, -1.0 / (2.0 * tau), E), -1.0, B, K)
+        F = lr_update(F_base, -1.0, B, K)
 
         R = _ros1_rhs(E, B, C, X, tau)
 
         lyap = GALEProblem(E, F, R)
-        X = solve_gale_adi(lyap, inner_alg, initial_guess=X, observer=observer)
+        X = solve_gale_adi(lyap, inner_alg, initial_guess=X, observer=observer,
+                           shift_cache=cache)
+        X = lr_slice_active(X)
         if save_state:
             Xs.append(X)
 
@@ -143,24 +160,33 @@ def solve_gdre_lowrank_ros2(prob: GDREProblem, alg: Ros2, *, dt: float,
     notify(observer, "gdre_step", float(tstops[0]), X, K)
 
     inner_alg = alg.inner_alg if alg.inner_alg is not None else ADI()
+    # γτ·A − E/2 is constant across the fixed-step sweep — share one
+    # factorization cache over all steps and both stages.
+    tau0 = float(tstops[0] - tstops[1])
+    F_base = lin_comb(scale_op(A, gamma * tau0), -0.5, E)
+    cache = ShiftedSolveCache()
     for i in range(1, len(tstops)):
         tau = float(tstops[i - 1] - tstops[i])
         gt = gamma * tau
 
         # F = γτ·A − E/2 − γτ·B K   (lowrank_ros2.jl:40)
-        F = lr_update(lin_comb(scale_op(A, gt), -0.5, E), -1.0 / gt, B, K)
+        F = lr_update(F_base, -1.0 / gt, B, K)
 
         R1 = _ros2_rhs1(E, A, B, C, X)
-        K1 = solve_gale_adi(GALEProblem(E, F, R1), inner_alg, observer=observer)
+        K1 = solve_gale_adi(GALEProblem(E, F, R1), inner_alg, observer=observer,
+                            shift_cache=cache)
 
         R2 = _ros2_rhs2(E, B, K1, tau, gamma)
-        K2 = solve_gale_adi(GALEProblem(E, F, R2), inner_alg, observer=observer)
+        K2 = solve_gale_adi(GALEProblem(E, F, R2), inner_alg, observer=observer,
+                            shift_cache=cache)
 
         # X ← X + (2 − 1/(2γ))τ·K1 − (τ/2)·K2   (lowrank_ros2.jl:71-72)
+        K1 = lr_slice_active(K1)
+        K2 = lr_slice_active(K2)
         X = lr_add(X, lr_scale((2.0 - 1.0 / (2.0 * gamma)) * tau, K1),
                    r_out=X.r + K1.r)
         X = lr_add(X, lr_scale(-tau / 2.0, K2), r_out=X.r + K2.r)
-        X = lr_compress(X, r_out=round_up(int(X.k) + 1, 16))
+        X = lr_slice_active(lr_compress(X))
         if save_state:
             Xs.append(X)
 

@@ -288,6 +288,47 @@ def _heuristic_shifts(strategy: Heuristic, E, A) -> list:
     return heuristic(R, strategy.nshifts)
 
 
+def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int):
+    """Penzl heuristic shifts computed entirely on the host with SciPy
+    sparse LU — setup-time helper for compiled/TPU sweeps where the
+    device-orchestrated Arnoldi would cost one tunnel round trip per step.
+    Same algorithm as `Heuristic` (Penzl 1999 Alg 5.1)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    E = sp.csc_matrix(E_sparse)
+    A = sp.csc_matrix(A_sparse)
+    n = E.shape[0]
+
+    def arnoldi(matvec, k, desc):
+        H = np.zeros((k + 1, k))
+        b0 = np.ones(n)
+        V = [b0 / np.linalg.norm(b0)]
+        for j in range(k):
+            w = matvec(V[j])
+            for _ in range(2):
+                for i in range(j + 1):
+                    g = V[i] @ w
+                    H[i, j] += g
+                    w = w - g * V[i]
+            beta = np.linalg.norm(w)
+            H[j + 1, j] = beta
+            if beta == 0:
+                k = j + 1
+                H = H[: k + 1, :k]
+                break
+            V.append(w / beta)
+        ritz = np.linalg.eigvals(H[:k, :k])
+        return stabilize_ritz_values(ritz, desc)
+
+    luE = spla.splu(E)
+    Rp = arnoldi(lambda x: luE.solve(A @ x), kp, "E⁻¹A")
+    luA = spla.splu(A)
+    Rm = arnoldi(lambda x: luA.solve(E @ x), km, "A⁻¹E")
+    R = np.concatenate([Rp, 1.0 / Rm])
+    return heuristic(R, nshifts)
+
+
 class HeuristicOracle(BufferedOracle):
     def __init__(self, shifts):
         super().__init__()

@@ -63,5 +63,39 @@ def prepare_shifted(E, A, mu, alg=None):
     return prepare(op, alg)
 
 
+class ShiftedSolveCache:
+    """Cross-iteration cache of factored shifted cores ``A₀ᵀ + μEᵀ``.
+
+    The ADI consumes a (usually cyclic) set of shifts; the *core* of each
+    shifted coefficient depends only on ``(E, A₀, μ)`` — constant across ADI
+    iterations, across Newton steps (newton.jl:103: only the feedback term
+    ``B K`` changes), and across all time steps of a fixed-``dt`` Rosenbrock
+    sweep (lowrank_ros1.jl:39: ``A − E/(2τ)`` with constant ``τ``).  The
+    rank-m feedback part is absorbed by the Sherman–Morrison–Woodbury
+    correction, which reuses the cached core factorization.
+
+    This turns the per-ADI-iteration cost on the dense path from one
+    O(n³) LU into O(n²(m+q)) triangular solves.  The cache key is the shift
+    value; validity is owned by the caller (create one cache per
+    (E, A₀) pencil).
+    """
+
+    def __init__(self, max_entries: int = 64):
+        self._core = {}
+        self.max_entries = max_entries
+
+    def core_solver(self, mu: complex, build):
+        key = complex(mu)
+        s = self._core.get(key)
+        if s is None:
+            if len(self._core) >= self.max_entries:  # FIFO eviction
+                self._core.pop(next(iter(self._core)))
+            s = self._core[key] = build()
+        return s
+
+    def __len__(self):
+        return len(self._core)
+
+
 def solve_shifted(E, A, mu, W, alg=None):
     return prepare_shifted(E, A, mu, alg).solve(W)

@@ -132,6 +132,38 @@ def test_sharded_step_matches_single_device():
     )
 
 
+def test_compiled_trajectory_matches_host_driver():
+    from differentialriccatiequations_jl_tpu import GDREProblem, Ros1
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        solve_gdre_ros1_compiled,
+    )
+
+    E_op, A_op, B, C, X0 = _ros1_inputs()
+    tspan = (4500.0, 4400.0)
+    prob = GDREProblem(E_op, A_op, B, C, X0, tspan)
+
+    adi = ADI(shifts=Cyclic(Heuristic(10, 10, 10)), maxiters=60)
+    ref = solve(prob, Ros1(inner_alg=adi), dt=-20.0)
+
+    lyap_prob = GALEProblem(E_op, A_op, lowrank(np.asarray(C).T))
+    shift_vals = init_shifts(Cyclic(Heuristic(10, 10, 10)), lyap_prob).take_many()
+    assert all(s.imag == 0 for s in shift_vals)  # symmetric surrogate
+    shifts = jnp.asarray([s.real for s in shift_vals])
+
+    # r_res must cover the numerical rank of the warm-start residual
+    # (≈ q + 2·rank(X)); undersizing truncates and floors the accuracy.
+    cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
+    sol = solve_gdre_ros1_compiled(prob, dt=-20.0, shifts=shifts, cfg=cfg,
+                                   capacity=96, abstol=1e-13)
+    assert len(sol.K) == len(ref.K)
+    # Both solvers converge to their own inner tolerance (compiled: fixed
+    # absolute 1e-13; host: per-step relative n·eps); feedbacks agree to the
+    # looser of the two.
+    for Kc, Kr in zip(sol.K[1:], ref.K[1:]):
+        dK = np.linalg.norm(np.asarray(Kc) - np.asarray(Kr))
+        assert dK / np.linalg.norm(np.asarray(Kr)) < 1e-6
+
+
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")
