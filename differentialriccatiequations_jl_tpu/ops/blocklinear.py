@@ -64,6 +64,11 @@ class Krylov:
     """Matrix-free iterative solve (for block-sparse operators).
 
     method: "bicgstab" (general), "cg" (symmetric definite), "gmres".
+    preconditioner: "jacobi" (diagonal) or "block_jacobi" (batched LU of
+    the bs×bs diagonal blocks — the natural TPU preconditioner: one
+    vmapped triangular solve pair per application).
+    negate: solve ``(−A)X = −B`` — lets CG run on symmetric *negative*
+    definite shifted coefficients ``Aᵀ + μEᵀ`` (A stable, μ < 0).
     """
 
     method: str = "bicgstab"
@@ -71,6 +76,8 @@ class Krylov:
     atol: float = 0.0
     maxiter: int = 1000
     restart: int = 40  # gmres only
+    preconditioner: str = "jacobi"
+    negate: bool = False
 
 
 # --- prepared solvers (pytrees) ----------------------------------------------
@@ -107,16 +114,35 @@ class SMWSolver:
 @dataclasses.dataclass(frozen=True)
 class KrylovSolver:
     op: object
-    diag: jax.Array  # Jacobi preconditioner diagonal
+    prec: object  # diagonal (n,) or batched-LU tuple ((nb,bs,bs), (nb,bs))
     cfg: Krylov
+
+    def _apply_prec(self, x: jax.Array) -> jax.Array:
+        if isinstance(self.prec, tuple):
+            lu, piv = self.prec
+            nb, bs, _ = lu.shape
+            squeeze = x.ndim == 1
+            if squeeze:
+                x = x[:, None]
+            n, q = x.shape
+            xp = jnp.pad(x, ((0, nb * bs - n), (0, 0))).reshape(nb, bs, q)
+            y = jax.vmap(lambda l, p, b: jsl.lu_solve((l, p), b))(lu, piv, xp)
+            y = y.reshape(nb * bs, q)[:n]
+            return y[:, 0] if squeeze else y
+        pinv = 1.0 / self.prec
+        return pinv[:, None] * x if x.ndim == 2 else pinv * x
 
     def solve(self, B: jax.Array) -> jax.Array:
         from jax.scipy.sparse import linalg as spla
 
         cfg = self.cfg
-        mv = self.op.mm
-        pinv = 1.0 / self.diag
-        precond = lambda x: pinv[:, None] * x if x.ndim == 2 else pinv * x
+        if cfg.negate:
+            mv = lambda x: -self.op.mm(x)
+            B = -B
+            precond = lambda x: -self._apply_prec(x)
+        else:
+            mv = self.op.mm
+            precond = self._apply_prec
         if cfg.method == "cg":
             x, _ = spla.cg(mv, B, tol=cfg.tol, atol=cfg.atol,
                            maxiter=cfg.maxiter, M=precond)
@@ -162,7 +188,12 @@ def prepare(A, alg) -> object:
         schur = prepare(DenseOp(S), alg.inner)
         return SMWSolver(base=base, AinvU=AinvU, V=A.V, schur=schur)
     if isinstance(alg, Krylov):
-        return KrylovSolver(op=A, diag=_extract_diag(A), cfg=alg)
+        if alg.preconditioner == "block_jacobi" and hasattr(A, "diag_blocks"):
+            lu, piv = jax.vmap(jsl.lu_factor)(A.diag_blocks())
+            prec = (lu, piv)
+        else:
+            prec = _extract_diag(A)
+        return KrylovSolver(op=A, prec=prec, cfg=alg)
     raise TypeError(f"unknown block linear algorithm {alg!r}")
 
 

@@ -72,6 +72,17 @@ class BellOp:
     def diag(self) -> jax.Array:
         return self.diag_
 
+    def diag_blocks(self) -> jax.Array:
+        """(nb, bs, bs) diagonal blocks — block-Jacobi preconditioner data."""
+        nb, K, bs, _ = self.data.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (nb, K), 0)
+        hit = (self.cols == row)  # padded slots point at block 0 ⇒ only
+        # block-row 0 could false-positive, but its slot 0 is the true
+        # diagonal there (patterns are sorted) and duplicates are summed
+        # with zero data for padding.
+        w = hit.astype(self.data.dtype)[..., None, None]
+        return jnp.sum(self.data * w, axis=1)
+
     def mm(self, X: jax.Array) -> jax.Array:
         return _bell_mm(self.cols, self.data, X, self.n, self.bs,
                         self.use_pallas)
@@ -146,16 +157,92 @@ def _on_tpu() -> bool:
 
 @partial(jax.jit, static_argnames=())
 def _bell_mm_pallas(cols, data, X):
-    """Pallas SpMM: grid (nb, K); block-row i accumulates
-    ``data[i,k] @ X[cols[i,k]]`` with scalar-prefetched gather indices."""
+    """Pallas SpMM, two layouts:
+
+    * narrow RHS (q < 128): **transposed** layout ``Yᵀ = Xᵀ Aᵀ`` — the RHS
+      rides the sublane dimension (padded to 8) and the 128-wide block rows
+      ride the lanes, so no bandwidth is wasted padding q up to the lane
+      width; per grid step one ``(q̃,128)×(128,128)`` MXU matmul.
+    * wide RHS: direct layout ``Y[i] += data[i,k] @ X[cols[i,k]]``.
+
+    Both use scalar-prefetched gather indices (1-D — 2-D SMEM operands fail
+    to legalize in Mosaic) so the pipeline overlaps block streaming with
+    compute.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nb, K, bs, _ = data.shape
+    N = nb * bs
     q = X.shape[1]
-    qp = max(q, _PALLAS_MIN_Q)
-    if qp != q:
-        X = jnp.pad(X, ((0, 0), (0, qp - q)))
+    cols_flat = cols.reshape(-1)
+
+    if q < _PALLAS_MIN_Q:
+        qt = max(8, -(-q // 8) * 8)  # sublane multiple
+        Xt = jnp.pad(X.T, ((0, qt - q), (0, 0)))  # (qt, N)
+        def kernel_t(cols_ref, xt_hbm, data_ref, y_ref):
+            # One grid step per block-row: the K-slot loop runs inside the
+            # kernel with double-buffered manual DMA gathers of Xᵀ block
+            # columns, while the pipeline streams the (K, bs, bs) data
+            # slab.  Fewer, larger DMAs → near-streaming HBM traffic.
+            i = pl.program_id(0)
+
+            def body(xbuf, sem):
+                def gather(slot, k):
+                    j = cols_ref[i * K + k]
+                    return pltpu.make_async_copy(
+                        xt_hbm.at[:, pl.ds(j * bs, bs)],
+                        xbuf.at[slot],
+                        sem.at[slot],
+                    )
+
+                gather(0, 0).start()
+
+                def loop(k, acc):
+                    slot = k % 2
+
+                    @pl.when(k + 1 < K)
+                    def _():
+                        gather((k + 1) % 2, k + 1).start()
+
+                    gather(slot, k).wait()
+                    # Yᵀ_i += Xᵀ_j · A_{i,j}ᵀ : (qt, bs) x (bs, bs)
+                    return acc + jax.lax.dot_general(
+                        xbuf[slot], data_ref[0, k],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=acc.dtype,
+                    )
+
+                acc0 = jnp.zeros((qt, bs), y_ref.dtype)
+                y_ref[...] = jax.lax.fori_loop(0, K, loop, acc0)
+
+            pl.run_scoped(
+                body,
+                xbuf=pltpu.VMEM((2, qt, bs), X.dtype),
+                sem=pltpu.SemaphoreType.DMA((2,)),
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # Xᵀ stays in HBM
+                pl.BlockSpec((1, K, bs, bs), lambda i, c: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((qt, bs), lambda i, c: (0, i)),
+        )
+        Yt = pl.pallas_call(
+            kernel_t,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((qt, N), X.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nb * K * bs * bs * qt,
+                bytes_accessed=data.size * data.dtype.itemsize
+                + 2 * nb * K * bs * qt * X.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(cols_flat, Xt, data)
+        return Yt[:q].T
 
     def kernel(cols_ref, data_ref, x_ref, y_ref):
         k = pl.program_id(1)
@@ -168,30 +255,26 @@ def _bell_mm_pallas(cols, data, X):
             data_ref[0, 0], x_ref[...], preferred_element_type=y_ref.dtype
         )
 
-    # Scalar-prefetch operands must be 1-D for Mosaic (2-D SMEM arrays fail
-    # to legalize on the TPU backend).
-    cols_flat = cols.reshape(-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, K),
         in_specs=[
             pl.BlockSpec((1, 1, bs, bs), lambda i, k, c: (i, k, 0, 0)),
-            pl.BlockSpec((bs, qp), lambda i, k, c: (c[i * K + k], 0)),
+            pl.BlockSpec((bs, q), lambda i, k, c: (c[i * K + k], 0)),
         ],
-        out_specs=pl.BlockSpec((bs, qp), lambda i, k, c: (i, 0)),
+        out_specs=pl.BlockSpec((bs, q), lambda i, k, c: (i, 0)),
     )
-    Y = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * bs, qp), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, q), X.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * K * bs * bs * qp,
+            flops=2 * nb * K * bs * bs * q,
             bytes_accessed=data.size * data.dtype.itemsize
-            + 2 * nb * bs * qp * X.dtype.itemsize,
+            + 2 * nb * bs * q * X.dtype.itemsize,
             transcendentals=0,
         ),
     )(cols_flat, data, X)
-    return Y[:, :q] if qp != q else Y
 
 
 # --- construction (host side) -------------------------------------------------
