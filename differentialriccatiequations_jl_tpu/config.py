@@ -28,6 +28,14 @@ X64 = os.environ.get("DRE_X64", "1") != "0"
 if X64:
     jax.config.update("jax_enable_x64", True)
 
+# On TPU the MXU multiplies f32 operands in bfloat16 by default — fatal for
+# Krylov iterations (CG on FD pencils diverges/NaNs).  Force full-precision
+# f32 matmuls; override with DRE_MATMUL_PRECISION for raw-throughput runs.
+jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("DRE_MATMUL_PRECISION", "highest"),
+)
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 #: Default element type for problem data and solver internals.

@@ -215,14 +215,15 @@ def lr_to_dense(X: LowRank) -> jax.Array:
 def lr_norm(X: LowRank) -> jax.Array:
     """Frobenius norm without forming the n×n matrix.
 
-    ``‖L D Lᵀ‖_F = ‖R D Rᵀ‖_F`` for any QR factorization ``L = QR`` —
-    the Benner–Li–Penzl trick used by `norm(::LDLᵀ)` (LDLt.jl:77-89).
-    Zero-padded columns of ``L`` yield zero columns of ``R``, so no masking
-    is required.
+    Gram form of the Benner–Li–Penzl trick (`norm(::LDLᵀ)`, LDLt.jl:77-89):
+    ``‖L D Lᵀ‖²_F = tr((D·LᵀL)²)`` — one r×r Gram matrix instead of a tall
+    QR (XLA's Householder QR is also prohibitively slow to compile on the
+    TPU backend).  Padded zero columns contribute nothing.
     """
-    R = jnp.linalg.qr(X.L, mode="r")
-    S = R @ X.D @ R.T
-    return jnp.linalg.norm(S)
+    M = X.L.T @ X.L
+    DM = X.D @ M
+    val = jnp.trace(DM @ DM)
+    return jnp.sqrt(jnp.maximum(val, 0.0))
 
 
 @jax.jit
@@ -259,36 +260,67 @@ def _robust_eigh(S: jax.Array):
     return lam * safe, V
 
 
-@partial(jax.jit, static_argnames=("r_out",))
-def lr_compress(X: LowRank, r_out: int | None = None) -> LowRank:
-    """Column compression: QR + eigendecomposition + truncation.
+@partial(jax.jit, static_argnames=("r_out", "method"))
+def lr_compress(X: LowRank, r_out: int | None = None,
+                method: str | None = None) -> LowRank:
+    """Column compression: orthogonalization + eigendecomposition + cut.
 
     Analog of `compress!` (LDLt.jl:204-225) following Lang/Mena/Saak 2015.
-    The reference's `orthf` uses pivoted QR, unavailable on accelerator
-    backends — like its own GPU configuration (test/cuda.jl:32-37) we use the
-    unpivoted factorization; the subsequent eigendecomposition of the
-    projected inner factor does the rank revealing.
+    Two orthogonalization routes (the reference itself swaps `orthf`
+    per-backend, test/cuda.jl:32-37):
+
+    * ``method="qr"``  — Householder QR of ``L`` (default in f64): most
+      accurate; the eigendecomposition of the projected inner factor does
+      the rank revealing.
+    * ``method="gram"`` — Cholesky of the ridge-stabilized Gram matrix
+      ``LᵀL`` (default in f32): avoids tall-matrix QR, whose XLA lowering
+      is prohibitively slow to compile on the TPU backend; accuracy
+      ~sqrt(eps), adequate for the f32 throughput regime.
 
     Truncation keeps eigenvalues with ``|λ| ≥ 100 · max|λ| · eps``; kept
     columns are packed to the front (eigenvalues sorted by decreasing
     magnitude) so the zero-padding invariant holds for the result.
     """
+    import jax.scipy.linalg as jsl
+
     n, r = X.L.shape
-    m = min(n, r)
-    Q, R = jnp.linalg.qr(X.L)  # Q: (n, m), R: (m, r)
-    S = R @ X.D @ R.T
+    finfo = jnp.finfo(X.L.dtype)
+    if method is None:
+        method = "gram" if X.L.dtype == jnp.float32 else "qr"
+    if method == "qr" and n >= r:
+        m = r
+        Q, R = jnp.linalg.qr(X.L)  # Q: (n, r), R: (r, r)
+        S = R @ X.D @ R.T
+    elif method == "qr":  # r > n: full-rank fallback through min dim
+        m = n
+        Q, R = jnp.linalg.qr(X.L)
+        S = R @ X.D @ R.T
+    else:
+        m = r
+        M = X.L.T @ X.L
+        ridge = 10.0 * finfo.eps * jnp.maximum(jnp.max(jnp.diagonal(M)), 1.0)
+        Lc = jnp.linalg.cholesky(M + ridge * jnp.eye(r, dtype=M.dtype))
+        R = Lc.T  # L ≈ Q R with R upper triangular
+        S = R @ X.D @ R.T
+        # Q = L R⁻¹ computed lazily below via a triangular solve.
+        Q = None
     S = 0.5 * (S + S.T)
     lam, V = _robust_eigh(S)  # ascending by value
     order = jnp.argsort(-jnp.abs(lam))
     lam = lam[order]
     V = V[:, order]
-    finfo = jnp.finfo(X.L.dtype)
     cut = COMPRESSION_RTOL_FACTOR * jnp.max(jnp.abs(lam)) * finfo.eps
     cut = jnp.maximum(cut, finfo.tiny)
     keep = jnp.abs(lam) > cut
     k_new = jnp.sum(keep).astype(jnp.int32)
     lam = jnp.where(keep, lam, 0)
-    L_new = Q @ (V * keep[None, :].astype(V.dtype))  # (n, m)
+    Vk = V * keep[None, :].astype(V.dtype)
+    if Q is None:
+        # L R⁻¹ Vk  ==  L · (R⁻¹ Vk); R upper triangular
+        RinvV = jsl.solve_triangular(R, Vk, lower=False)
+        L_new = X.L @ RinvV
+    else:
+        L_new = Q @ Vk  # (n, m)
     D_new = jnp.diag(lam)
     r_out = r_out if r_out is not None else r
     if m < r_out:

@@ -93,9 +93,10 @@ def _step_double(E, solver, mu, W, T, X):
 
 @jax.jit
 def _residual_norm(W, T):
-    """‖W T Wᵀ‖_F via the QR trick (LDLt.jl:77-89)."""
-    R = jnp.linalg.qr(W, mode="r")
-    return jnp.linalg.norm(R @ T @ R.T)
+    """‖W T Wᵀ‖_F via the Gram form of the Benner–Li–Penzl trick
+    (LDLt.jl:77-89): ``tr((T·WᵀW)²)`` — no tall QR (see `lr_norm`)."""
+    TM = T @ (W.T @ W)
+    return jnp.sqrt(jnp.maximum(jnp.trace(TM @ TM), 0.0))
 
 
 class ADISolver:

@@ -56,6 +56,76 @@ class ShiftLUs:
     lu: jax.Array  # (ns, n, n)
     piv: jax.Array  # (ns, n)
 
+    def core_solver(self, idx):
+        from ..ops.blocklinear import DenseLUSolver
+
+        return DenseLUSolver(lu=self.lu[idx], piv=self.piv[idx])
+
+
+@register_pytree_dataclass(meta_fields=("n", "bs", "use_pallas", "cfg"))
+@dataclasses.dataclass(frozen=True)
+class SparseShiftOps:
+    """Precomputed shifted block-ELL operators ``A₀ᵀ + μₛEᵀ`` with batched
+    block-Jacobi preconditioner factorizations — the sparse analog of
+    `ShiftLUs` for the Krylov inner solver on pod-scale problems.
+
+    Real shifts only (symmetric definite pencils; the surrogate/Rail regime
+    where Penzl shifts are real)."""
+
+    cols: jax.Array  # (nb, K)  (transposed structure: the operator is Aᵀ+μEᵀ)
+    data: jax.Array  # (ns, nb, K, bs, bs)
+    cols_t: jax.Array
+    data_t: jax.Array
+    diag_: jax.Array  # (ns, n)
+    prec_lu: jax.Array  # (ns, nb, bs, bs)
+    prec_piv: jax.Array  # (ns, nb, bs)
+    n: int
+    bs: int
+    use_pallas: bool
+    cfg: object  # ops.blocklinear.Krylov
+
+    def core_solver(self, idx):
+        from ..ops.blocklinear import KrylovSolver
+        from ..ops.sparse import BellOp
+
+        op = BellOp(cols=self.cols, data=self.data[idx], cols_t=self.cols_t,
+                    data_t=self.data_t[idx], diag_=self.diag_[idx],
+                    n=self.n, bs=self.bs, use_pallas=self.use_pallas)
+        return KrylovSolver(op=op, prec=(self.prec_lu[idx], self.prec_piv[idx]),
+                            cfg=self.cfg)
+
+
+def build_sparse_shift_ops(E, A0, shifts, krylov_cfg=None) -> SparseShiftOps:
+    """Assemble the per-shift shifted operators and their block-Jacobi LUs.
+
+    ``E``/``A0``: pattern-sharing `BellOp`s (see `ops.sparse.bell_pencil`);
+    ``shifts``: real 1-D array.
+    """
+    import jax.scipy.linalg as jsl
+
+    from ..ops.blocklinear import Krylov
+    from ..ops.sparse import shifted_bell
+
+    if krylov_cfg is None:
+        eps = float(jnp.finfo(E.dtype).eps)
+        krylov_cfg = Krylov(method="cg", tol=10 * eps, maxiter=400,
+                            preconditioner="block_jacobi", negate=True)
+
+    shifts = jnp.asarray(shifts)
+
+    def one(mu):
+        F = shifted_bell(E, A0, mu)
+        blocks = F.diag_blocks()
+        lu, piv = jax.vmap(jsl.lu_factor)(blocks)
+        return F.cols, F.data, F.cols_t, F.data_t, F.diag_, lu, piv
+
+    cols, data, cols_t, data_t, diag, lus, pivs = jax.vmap(one)(shifts)
+    return SparseShiftOps(
+        cols=cols[0], data=data, cols_t=cols_t[0], data_t=data_t,
+        diag_=diag, prec_lu=lus, prec_piv=pivs,
+        n=E.n, bs=E.bs, use_pallas=E.use_pallas, cfg=krylov_cfg,
+    )
+
 
 @partial(jax.jit, static_argnames=())
 def build_shift_lus(E, A0, shifts) -> ShiftLUs:
@@ -75,12 +145,6 @@ def build_shift_lus(E, A0, shifts) -> ShiftLUs:
 
     lu, piv = jax.vmap(one)(shifts)
     return ShiftLUs(lu=lu, piv=piv)
-
-
-def _core_solver_at(shift_lus: ShiftLUs, idx):
-    from ..ops.blocklinear import DenseLUSolver
-
-    return DenseLUSolver(lu=shift_lus.lu[idx], piv=shift_lus.piv[idx])
 
 
 def _wrap_smw(core, A, dtype):
@@ -143,9 +207,12 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
     cdtype = jnp.result_type(W0.dtype, jnp.complex64)
 
     def _cached_solve(idx, B):
-        """Solve via the precomputed LU for shift slot ``idx`` (+ SMW)."""
-        sdt = shift_lus.lu.dtype
-        solver = _wrap_smw(_core_solver_at(shift_lus, idx), A, sdt)
+        """Solve via the precomputed factorization for shift slot ``idx``
+        (+ SMW correction for a low-rank-updated coefficient)."""
+        core = shift_lus.core_solver(idx)
+        sdt = (shift_lus.lu.dtype if isinstance(shift_lus, ShiftLUs)
+               else shift_lus.data.dtype)
+        solver = _wrap_smw(core, A, sdt)
         return solver.solve(B.astype(sdt))
 
     def real_step(mu_c, idx, W, T, X):

@@ -132,6 +132,52 @@ def test_sharded_step_matches_single_device():
     )
 
 
+def test_adi_compiled_sparse_blockjacobi():
+    """Compiled ADI with block-ELL operators + preconditioned-CG inner
+    solves and precomputed per-shift operators (the pod-scale config)."""
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        build_sparse_shift_ops,
+    )
+    from differentialriccatiequations_jl_tpu.ops.blocklinear import Krylov
+    from differentialriccatiequations_jl_tpu.ops.sparse import bell_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+    from differentialriccatiequations_jl_tpu.models.shifts import (
+        heuristic_shifts_host,
+    )
+
+    n, bs = 96, 16
+    E, A, B, C = rail_surrogate(n)
+    E_op, A_op = bell_pencil(E, A, bs=bs)
+    sv = heuristic_shifts_host(E, A, 8, 10, 10)
+    assert all(abs(s.imag) < 1e-12 for s in sv)
+    shifts = jnp.asarray([s.real for s in sv])
+
+    sops = build_sparse_shift_ops(
+        E_op, A_op, shifts,
+        Krylov(method="cg", tol=1e-14, maxiter=500,
+               preconditioner="block_jacobi", negate=True),
+    )
+
+    q = C.shape[0]
+    Cf = lowrank(np.asarray(C.T))
+    W0 = jnp.asarray(C.T)
+    T0 = jnp.eye(q)
+    X0 = lr_zero(n, 96, jnp.float64)
+    cfg = CompiledConfig(maxiters=80, compression_interval=10, r_res=q)
+    prob = GALEProblem(E_op, A_op, Cf)
+    abstol = 1e-11 * float(dre.lr_norm(Cf))
+    X, W, iters, res = adi_compiled(E_op, A_op, W0, T0, jnp.int32(q), X0,
+                                    shifts, abstol, cfg, sops)
+    assert float(res) <= abstol
+    rel = float(dre.lr_norm(residual(prob, X))) / float(dre.lr_norm(Cf))
+    assert rel < 1e-10
+
+    X_ref = np.asarray(solve_gale_host(E.toarray(), A.toarray(),
+                                       np.asarray(C.T @ C)))
+    err = np.linalg.norm(np.asarray(lr_to_dense(X)) - X_ref)
+    assert err / np.linalg.norm(X_ref) < 1e-8
+
+
 def test_compiled_trajectory_matches_host_driver():
     from differentialriccatiequations_jl_tpu import GDREProblem, Ros1
     from differentialriccatiequations_jl_tpu.models.compiled import (
