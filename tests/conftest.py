@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+# The hosted-TPU ("axon") plugin in this environment ignores the
+# JAX_PLATFORMS env var and registers itself as the default backend anyway;
+# the config flag still wins, so set it explicitly before any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: linalg kernels (QR/eigh/LU) compile once
 # across test runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dre_jax_cache")
