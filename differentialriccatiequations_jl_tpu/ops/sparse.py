@@ -281,30 +281,40 @@ def _bell_mm_pallas(cols, data, X):
 
 
 def _block_pattern(coo, nb, bs):
-    bi = coo.row // bs
-    bj = coo.col // bs
+    """Unique (block-row → sorted block-cols) pattern, vectorized over nnz."""
+    keys = np.unique(
+        (coo.row // bs).astype(np.int64) * nb + (coo.col // bs)
+    )
+    bi, bj = keys // nb, keys % nb
     pat = {}
-    for i, j in zip(bi, bj):
-        pat.setdefault(int(i), set()).add(int(j))
+    for i, j in zip(bi, bj):  # loops over *blocks* (≤ nb·K), not nnz
+        pat.setdefault(int(i), []).append(int(j))
     return pat
 
 
 def _build_structure(M_csr, nb, bs, pattern, dtype):
+    """Scatter CSR entries into the (nb, K, bs, bs) slot buffer.
+
+    One vectorized `np.add.at` over the nnz; the only Python loops run over
+    the block pattern (≤ nb·K entries), never over matrix entries.
+    """
     K = max((len(v) for v in pattern.values()), default=1)
     K = max(K, 1)
     cols = np.zeros((nb, K), np.int32)
-    data = np.zeros((nb, K, bs, bs), dtype)
-    N = nb * bs
-    import scipy.sparse as sp
-
-    Mp = sp.csr_matrix((M_csr.data, M_csr.indices, M_csr.indptr),
-                       shape=M_csr.shape)
-    Mp.resize((N, N))
-    for i in range(nb):
-        for s, j in enumerate(sorted(pattern.get(i, []))):
+    slot_mat = np.full((nb, nb), -1, np.int8 if K < 127 else np.int32)
+    for i, js in pattern.items():
+        for s, j in enumerate(sorted(js)):
             cols[i, s] = j
-            blk = Mp[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs].toarray()
-            data[i, s] = blk
+            slot_mat[i, j] = s
+    M_csr.sum_duplicates()  # canonical ⇒ plain fancy assignment is exact
+    coo = M_csr.tocoo()
+    bi = coo.row // bs
+    bj = coo.col // bs
+    slots = slot_mat[bi, bj].astype(np.int64)
+    if (slots < 0).any():
+        raise ValueError("matrix entry outside the supplied block pattern")
+    data = np.zeros((nb, K, bs, bs), dtype)
+    data[bi, slots, coo.row % bs, coo.col % bs] = coo.data.astype(dtype)
     return jnp.asarray(cols), jnp.asarray(data)
 
 
