@@ -15,8 +15,24 @@ from .blocklinear import (
     solve_blocklinear,
 )
 from .shifted import shifted_operator, prepare_shifted, solve_shifted, default_inner_alg
+from .dia import (
+    DiaOp,
+    dia_from_scipy,
+    dia_pencil,
+    dia_lin_comb,
+    dia_scale,
+    shifted_dia,
+    is_banded,
+)
 
 __all__ = [
+    "DiaOp",
+    "dia_from_scipy",
+    "dia_pencil",
+    "dia_lin_comb",
+    "dia_scale",
+    "shifted_dia",
+    "is_banded",
     "DenseOp",
     "LowRankUpdateOp",
     "lr_update",

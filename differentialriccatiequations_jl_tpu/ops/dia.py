@@ -1,0 +1,418 @@
+"""DIA (diagonal-storage) sparse operators — the banded/stencil fast path.
+
+The reference's matrices (Oberwolfach Rail FEM pencils; our FD surrogates,
+utils/testmat.py) are *banded*: every nonzero sits on one of a handful of
+structural diagonals.  Round 1 stored them block-ELL with 128×128 dense
+blocks, which multiplies ~112 stored zeros per useful nonzero on a 5-point
+stencil.  DIA stores exactly one vector per structural diagonal:
+
+* ``offsets: (ndiag,)`` static ints — ``A[i, i + off_d] = data[d, i]``,
+* ``data: (ndiag, n)`` — zero where ``i + off_d`` falls outside the matrix.
+
+SpMM ``Y = A @ X`` is then ``Y[i] = Σ_d data[d, i] · X[i + off_d]`` — a
+static unrolled sum of shifted elementwise multiply-adds that XLA fuses into
+a single bandwidth-bound loop (no gathers, no MXU, no padding).  This is the
+TPU-native analog of the reference's CSR SpMV inside its sparse LU regime
+(/root/reference/src/blocklinear/backslash.jl:8-21 touches each nnz once per
+solve; here each nnz is touched once per *matvec*).
+
+Transposes store a pre-shifted copy ``data_t[d, i] = data[d, i - off_d]`` so
+``AᵀX`` runs through the same kernel with negated offsets — no scatters or
+index arithmetic in the hot loop (needed throughout the ADI, e.g. residual
+updates adi.jl:169-171).
+
+Scale-out: with ``mesh`` set, rows are partitioned across the 1-D device
+mesh and the SpMM runs under `shard_map` with a two-`ppermute` halo exchange
+of ``H = max|offset|`` boundary rows — O(H·q) bytes over ICI per product,
+overlapped with the local contraction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import register_pytree_dataclass
+
+# Interpret-mode switch: run the Pallas kernel via the interpreter on CPU
+# (production-kernel tests).  Read at trace time.
+_INTERPRET = False
+
+
+@register_pytree_dataclass(
+    meta_fields=("offsets", "n", "nnz_", "use_pallas", "mesh")
+)
+@dataclasses.dataclass(frozen=True)
+class DiaOp:
+    """Banded sparse matrix in diagonal storage.
+
+    ``data``/``data_t`` may be padded beyond ``n`` (to a row multiple of the
+    mesh size); padded entries are zero.  ``mesh`` (a hashable
+    `jax.sharding.Mesh` or None) switches `mm`/`tmm` to the halo-exchange
+    `shard_map` path.
+    """
+
+    data: jax.Array  # (ndiag, N) with N >= n
+    data_t: jax.Array  # (ndiag, N): data_t[d, i] = data[d, i - offsets[d]]
+    offsets: tuple  # static ints, ascending
+    n: int
+    nnz_: int  # structural nonzeros (csr-equivalent), set at construction
+    use_pallas: bool = False
+    mesh: object = None
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def N(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        """Structural (csr-equivalent) nonzeros — the honest nnz/s unit."""
+        return self.nnz_
+
+    @property
+    def nnz_stored(self) -> int:
+        return self.data.size
+
+    def diag(self) -> jax.Array:
+        d0 = self.offsets.index(0) if 0 in self.offsets else None
+        if d0 is None:
+            return jnp.zeros((self.n,), self.dtype)
+        return self.data[d0, : self.n]
+
+    def diag_blocks(self, bs: int = 128) -> jax.Array:
+        """(nb, bs, bs) diagonal blocks (block-Jacobi preconditioner data).
+
+        Couplings crossing a block boundary are dropped — standard
+        block-Jacobi truncation.
+        """
+        nb = -(-self.n // bs)
+        Np = nb * bs
+        blocks = jnp.zeros((nb, bs, bs), self.dtype)
+        for d, off in enumerate(self.offsets):
+            if abs(off) >= bs:
+                continue
+            w = jnp.pad(self.data[d, : self.n], (0, Np - self.n))
+            w = w.reshape(nb, bs)
+            r = np.arange(max(0, -off), bs - max(0, off))
+            blocks = blocks.at[:, r, r + off].add(w[:, r])
+        return blocks
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        return _dia_mm(self.data, self.offsets, X, self.n,
+                       self.use_pallas, self.mesh)
+
+    def tmm(self, X: jax.Array) -> jax.Array:
+        offs_t = tuple(-o for o in self.offsets)
+        return _dia_mm(self.data_t, offs_t, X, self.n,
+                       self.use_pallas, self.mesh)
+
+    def adjoint(self) -> "DiaOp":
+        # Reverse so the (negated) offsets stay ascending.
+        return DiaOp(
+            data=self.data_t[::-1],
+            data_t=self.data[::-1],
+            offsets=tuple(-o for o in reversed(self.offsets)),
+            n=self.n, nnz_=self.nnz_, use_pallas=self.use_pallas,
+            mesh=self.mesh,
+        )
+
+    def to_dense(self) -> jax.Array:
+        n = self.n
+        M = jnp.zeros((n, n), self.dtype)
+        for d, off in enumerate(self.offsets):
+            i0, i1 = max(0, -off), min(n, n - off)
+            if i1 <= i0:
+                continue
+            rows = np.arange(i0, i1)
+            M = M.at[rows, rows + off].add(self.data[d, i0:i1])
+        return M
+
+
+def _dia_mm(data, offsets, X, n, use_pallas, mesh):
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    N = data.shape[1]
+    if X.shape[0] != N:
+        X = jnp.pad(X, ((0, N - X.shape[0]), (0, 0)))
+    if mesh is not None:
+        Y = _dia_mm_halo(data, offsets, X, mesh)
+    elif use_pallas and _on_tpu() and data.dtype != jnp.float64:
+        Y = _dia_mm_pallas(data, offsets, X)
+    else:
+        Y = _dia_mm_xla(data, offsets, X)
+    Y = Y[:n]
+    return Y[:, 0] if squeeze else Y
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _shifted_rows(Xp, H, off, N):
+    """Rows ``i + off`` of X out of the H-padded buffer (static slice)."""
+    return jax.lax.slice_in_dim(Xp, H + off, H + off + N, axis=0)
+
+
+def _dia_mm_xla(data, offsets, X):
+    """One pad + ndiag static slices + fused multiply-adds.
+
+    XLA fuses the whole sum into a single elementwise loop over the padded
+    operand — each output row reads ndiag weights and ndiag shifted input
+    rows, which is the bandwidth lower bound for this product.
+    """
+    N, q = X.shape
+    H = max((abs(o) for o in offsets), default=0)
+    Xp = jnp.pad(X, ((H, H), (0, 0)))
+    out_dt = jnp.result_type(data.dtype, X.dtype)
+    Y = jnp.zeros((N, q), out_dt)
+    for d, off in enumerate(offsets):
+        Y = Y + data[d][:, None].astype(out_dt) * _shifted_rows(
+            Xp, H, off, N
+        ).astype(out_dt)
+    return Y
+
+
+def _dia_mm_pallas(data, offsets, X):
+    """Pallas DIA SpMM in transposed layout.
+
+    ``Yᵀ[:, i] = Σ_d w[d, i] · Xᵀ[:, i + off_d]`` — the problem dimension
+    rides the 128-wide lanes (shifts become lane-slices of an extended
+    block), the RHS width rides the sublanes, and the diagonal weights
+    broadcast over sublanes.  Pure VPU work at streaming HBM bandwidth; one
+    grid step per lane-block with the halo read from HBM via the block
+    overlap in the index map being impossible, we DMA the extended block
+    manually.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ndiag, N = data.shape
+    q = X.shape[1]
+    qt = max(8, -(-q // 8) * 8)
+    H = max((abs(o) for o in offsets), default=0)
+    BN = 2048
+    while BN < 2 * H:
+        BN *= 2
+    Np = -(-N // BN) * BN
+    nb = Np // BN
+
+    # Transposed, halo-padded operand: (qt, Np + 2H) so every extended block
+    # read is an in-range static-width slice.
+    Xt = jnp.zeros((qt, Np + 2 * H), X.dtype)
+    Xt = jax.lax.dynamic_update_slice(Xt, X.T, (0, H))
+    Wp = jnp.pad(data, ((0, 0), (0, Np - N)))
+
+    def kernel(xt_hbm, w_ref, y_ref):
+        i = pl.program_id(0)
+
+        def body(xbuf, sem):
+            cp = pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(i * BN, BN + 2 * H)], xbuf, sem
+            )
+            cp.start()
+            cp.wait()
+            acc = jnp.zeros((qt, BN), y_ref.dtype)
+            for d, off in enumerate(offsets):
+                w = w_ref[d, :].reshape(1, BN)
+                acc = acc + w * jax.lax.slice_in_dim(
+                    xbuf[...], H + off, H + off + BN, axis=1
+                )
+            y_ref[...] = acc
+
+        pl.run_scoped(
+            body,
+            xbuf=pltpu.VMEM((qt, BN + 2 * H), X.dtype),
+            sem=pltpu.SemaphoreType.DMA,
+        )
+
+    Yt = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # Xt stays in HBM
+            pl.BlockSpec((ndiag, BN), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((qt, BN), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((qt, Np), X.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * Np * qt,
+            bytes_accessed=(ndiag * Np + 2 * Np * qt) * X.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(Xt, Wp)
+    return Yt[:q, :N].T
+
+
+def _dia_mm_halo(data, offsets, X, mesh):
+    """Row-sharded DIA SpMM under `shard_map` with ppermute halo exchange.
+
+    Each shard owns ``nl = N / ndev`` rows of X/Y and the matching slice of
+    every diagonal.  Neighbors exchange ``H = max|offset|`` boundary rows
+    (two `ppermute`s riding ICI); the wrap-around at the global boundary is
+    harmless because out-of-range diagonal weights are zero by construction.
+    """
+    from .. import parallel as _par  # AXIS name, avoids import cycle
+
+    axis = _par.mesh.AXIS
+    N, q = X.shape
+    ndev = mesh.devices.size
+    nl = N // ndev
+    H = max((abs(o) for o in offsets), default=0)
+    if H > nl:
+        raise ValueError(
+            f"halo {H} exceeds {nl} rows per shard; use fewer devices")
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    def local(data_l, X_l):
+        nd = jax.lax.axis_size(axis)
+        fwd = [(i, (i + 1) % nd) for i in range(nd)]
+        bwd = [(i, (i - 1) % nd) for i in range(nd)]
+        from_prev = jax.lax.ppermute(X_l[-H:], axis, fwd)
+        from_next = jax.lax.ppermute(X_l[:H], axis, bwd)
+        X_ext = jnp.concatenate([from_prev, X_l, from_next], axis=0)
+        out_dt = jnp.result_type(data_l.dtype, X_l.dtype)
+        Y = jnp.zeros((X_l.shape[0], X_l.shape[1]), out_dt)
+        for d, off in enumerate(offsets):
+            Y = Y + data_l[d][:, None].astype(out_dt) * jax.lax.slice_in_dim(
+                X_ext, H + off, H + off + X_l.shape[0], axis=0
+            ).astype(out_dt)
+        return Y
+
+    return local(data, X)
+
+
+# --- construction (host side) -------------------------------------------------
+
+
+def _dia_arrays(M_csr, offsets, n, N, dtype):
+    """Scatter CSR entries into (ndiag, N) diagonal storage (vectorized)."""
+    coo = M_csr.tocoo()
+    coo.sum_duplicates()
+    diff = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+    off_arr = np.asarray(offsets, np.int64)
+    d_idx = np.searchsorted(off_arr, diff)
+    if (d_idx >= len(off_arr)).any() or (off_arr[d_idx] != diff).any():
+        raise ValueError("matrix entry outside the supplied diagonal set")
+    data = np.zeros((len(offsets), N), dtype)
+    data[d_idx, coo.row] = coo.data.astype(dtype)
+    data_t = np.zeros_like(data)
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            data_t[d, off:] = data[d, : N - off] if off else data[d]
+        else:
+            data_t[d, : N + off] = data[d, -off:]
+    return data, data_t
+
+
+def dia_offsets(M) -> tuple:
+    """The set of structurally nonzero diagonals of a scipy sparse matrix."""
+    coo = M.tocoo()
+    return tuple(
+        int(o) for o in np.unique(coo.col.astype(np.int64) - coo.row)
+    )
+
+
+def dia_from_scipy(M, dtype=None, offsets=None, use_pallas: bool = False,
+                   mesh=None, pad_to: int = 1) -> DiaOp:
+    """Convert a scipy sparse matrix to `DiaOp` (host-side, setup only).
+
+    ``pad_to``: pad the row dimension to a multiple (mesh shard size).
+    """
+    import scipy.sparse as sp
+
+    M = sp.csr_matrix(M)
+    n = M.shape[0]
+    dtype = dtype or M.dtype
+    offs = tuple(offsets) if offsets is not None else dia_offsets(M)
+    N = -(-n // pad_to) * pad_to
+    data, data_t = _dia_arrays(M, offs, n, N, dtype)
+    return DiaOp(data=jnp.asarray(data), data_t=jnp.asarray(data_t),
+                 offsets=offs, n=n, nnz_=int(M.nnz), use_pallas=use_pallas,
+                 mesh=mesh)
+
+
+def dia_pencil(E, A, dtype=None, use_pallas: bool = False, mesh=None,
+               pad_to: int = 1):
+    """Build (E_op, A_op) on the **union** diagonal set so shifted combines
+    ``A + cE`` are pure data arithmetic (the ADI hot path; the analog of
+    `ops.sparse.bell_pencil`)."""
+    import scipy.sparse as sp
+
+    E = sp.csr_matrix(E)
+    A = sp.csr_matrix(A)
+    U = ((E != 0) + (A != 0)).tocsr()
+    offs = dia_offsets(U)
+    nnz_union = int(U.nnz)
+    E_op = dia_from_scipy(E, dtype, offsets=offs, use_pallas=use_pallas,
+                          mesh=mesh, pad_to=pad_to)
+    A_op = dia_from_scipy(A, dtype, offsets=offs, use_pallas=use_pallas,
+                          mesh=mesh, pad_to=pad_to)
+    E_op = dataclasses.replace(E_op, nnz_=nnz_union)
+    A_op = dataclasses.replace(A_op, nnz_=nnz_union)
+    return E_op, A_op
+
+
+def is_banded(M, max_diags: int = 64) -> bool:
+    """Heuristic: is DIA storage efficient for this matrix?"""
+    try:
+        return len(dia_offsets(M)) <= max_diags
+    except Exception:  # pragma: no cover
+        return False
+
+
+# --- algebra on shared diagonal sets -------------------------------------------
+
+
+def _same_pattern(a: DiaOp, b: DiaOp) -> bool:
+    return a.offsets == b.offsets and a.n == b.n and a.N == b.N
+
+
+def dia_lin_comb(A: DiaOp, c, E: DiaOp) -> DiaOp:
+    """``A + c·E`` for diagonal-set-sharing operators (see `dia_pencil`)."""
+    if not _same_pattern(A, E):
+        raise ValueError("dia_lin_comb requires operators sharing a diagonal "
+                         "set (build them with dia_pencil)")
+    c = jnp.asarray(c)
+    dt = jnp.result_type(A.dtype, c.dtype)
+    return DiaOp(
+        data=A.data.astype(dt) + c * E.data.astype(dt),
+        data_t=A.data_t.astype(dt) + c * E.data_t.astype(dt),
+        offsets=A.offsets, n=A.n, nnz_=A.nnz_, use_pallas=A.use_pallas,
+        mesh=A.mesh,
+    )
+
+
+def dia_scale(A: DiaOp, c) -> DiaOp:
+    c = jnp.asarray(c)
+    dt = jnp.result_type(A.dtype, c.dtype)
+    return DiaOp(data=c * A.data.astype(dt), data_t=c * A.data_t.astype(dt),
+                 offsets=A.offsets, n=A.n, nnz_=A.nnz_,
+                 use_pallas=A.use_pallas, mesh=A.mesh)
+
+
+def shifted_dia(E: DiaOp, A: DiaOp, mu) -> DiaOp:
+    """Operator ``Aᵀ + μEᵀ`` as a `DiaOp` (fused data combine)."""
+    return dia_lin_comb(A.adjoint(), mu, E.adjoint())

@@ -136,6 +136,10 @@ def lin_comb(A, c, E):
         return LowRankUpdateOp(lin_comb(A.A, c, E), A.alpha, A.U, A.V)
     if isinstance(A, DenseOp) and isinstance(E, DenseOp):
         return DenseOp(A.M + c * E.M)
+    from .dia import DiaOp, dia_lin_comb
+
+    if isinstance(A, DiaOp):
+        return dia_lin_comb(A, c, E)
     from .sparse import bell_lin_comb
 
     return bell_lin_comb(A, c, E)
@@ -148,6 +152,10 @@ def scale_op(A, c):
         raise TypeError("scale the base and update separately")
     if isinstance(A, DenseOp):
         return DenseOp(c * A.M)
+    from .dia import DiaOp, dia_scale
+
+    if isinstance(A, DiaOp):
+        return dia_scale(A, c)
     from .sparse import bell_scale
 
     return bell_scale(A, c)

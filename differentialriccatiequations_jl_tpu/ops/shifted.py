@@ -36,6 +36,11 @@ def shifted_operator(E, A, mu):
         mu = jnp.asarray(mu)
         M = A.M.T.astype(jnp.result_type(A.dtype, mu.dtype)) + mu * E.M.T
         return DenseOp(M)
+    # banded core: combine on the shared diagonal set (ops/dia.py)
+    from .dia import DiaOp, shifted_dia
+
+    if isinstance(A, DiaOp):
+        return shifted_dia(E, A, mu)
     # block-sparse core: combine on the shared pattern (ops/sparse.py)
     from .sparse import shifted_bell
 

@@ -37,6 +37,11 @@ from ..config import register_pytree_dataclass
 
 _PALLAS_MIN_Q = 128  # lane width
 
+# Interpret-mode switch for the Pallas kernels: lets tests run the
+# *production* kernels on CPU via the Pallas interpreter.  Read at trace
+# time — set before the first call in a process (tests only).
+_INTERPRET = False
+
 
 @register_pytree_dataclass(meta_fields=("n", "bs", "use_pallas"))
 @dataclasses.dataclass(frozen=True)
@@ -241,6 +246,7 @@ def _bell_mm_pallas(cols, data, X):
                 + 2 * nb * K * bs * qt * X.dtype.itemsize,
                 transcendentals=0,
             ),
+            interpret=_INTERPRET,
         )(cols_flat, Xt, data)
         return Yt[:q].T
 
@@ -274,6 +280,7 @@ def _bell_mm_pallas(cols, data, X):
             + 2 * nb * bs * q * X.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=_INTERPRET,
     )(cols_flat, data, X)
 
 
