@@ -95,6 +95,115 @@ class SparseShiftOps:
                             cfg=self.cfg)
 
 
+@register_pytree_dataclass(
+    meta_fields=("offsets", "n", "nnz_", "use_pallas", "mesh", "cfg")
+)
+@dataclasses.dataclass(frozen=True)
+class DiaShiftOps:
+    """Precomputed shifted banded operators ``A₀ᵀ + μₛEᵀ`` in DIA storage
+    with batched block-Jacobi preconditioner LUs — the stencil/FEM-banded
+    fast path (replaces `SparseShiftOps` where the pencil is banded; the
+    analog of the reference's cached shifted sparse LUs,
+    blocklinear/backslash.jl:8-21 + lyapunov/types.jl:20-30).
+
+    Complex shift buffers store complex DIA data (the double-step solve is a
+    single complex Krylov solve, adi.jl:196-204); real buffers stay real.
+    With ``cfg.solve_dtype`` set, `core_solver` returns a mixed-precision
+    `RefinedKrylovSolver` (f32 Krylov core + full-dtype refinement).
+    ``mesh`` switches every SpMM inside the solve to the halo-exchange
+    `shard_map` path (ops/dia.py)."""
+
+    data: jax.Array  # (ns, ndiag, N): the shifted operators, pre-transposed
+    data_t: jax.Array  # (ns, ndiag, N)
+    prec_lu: jax.Array  # (ns, nb, bs, bs) in the solve dtype
+    prec_piv: jax.Array  # (ns, nb, bs)
+    offsets: tuple
+    n: int
+    nnz_: int
+    use_pallas: bool
+    mesh: object
+    cfg: object  # ops.blocklinear.Krylov
+
+    def core_solver(self, idx):
+        from ..ops.blocklinear import KrylovSolver, RefinedKrylovSolver
+        from ..ops.dia import DiaOp
+        from ..ops.operators import op_astype
+
+        op = DiaOp(data=self.data[idx], data_t=self.data_t[idx],
+                   offsets=self.offsets, n=self.n, nnz_=self.nnz_,
+                   use_pallas=self.use_pallas, mesh=self.mesh)
+        cfg = self.cfg
+        prec = (self.prec_lu[idx], self.prec_piv[idx])
+        if cfg.solve_dtype is not None:
+            lo = jnp.dtype(cfg.solve_dtype)
+            if jnp.iscomplexobj(jnp.zeros((), op.dtype)):
+                lo = jnp.result_type(lo, jnp.complex64)
+            if lo != op.dtype:
+                inner = KrylovSolver(
+                    op=op_astype(op, lo), prec=prec,
+                    cfg=dataclasses.replace(cfg, solve_dtype=None))
+                return RefinedKrylovSolver(op_hi=op, inner=inner,
+                                           iters=cfg.refine_iters)
+        return KrylovSolver(op=op, prec=prec, cfg=cfg)
+
+
+def default_dia_krylov(dtype, shifts_dtype) -> "object":
+    """Natural Krylov config for shifted banded pencils: CG on the negated
+    (SPD) operator for real shift sets on symmetric pencils, BiCGStab for
+    complex shift buffers (complex-symmetric, not Hermitian)."""
+    from ..ops.blocklinear import Krylov
+
+    eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
+    if jnp.iscomplexobj(jnp.zeros((), shifts_dtype)):
+        return Krylov(method="bicgstab", tol=10 * eps, maxiter=400,
+                      preconditioner="block_jacobi", negate=False)
+    return Krylov(method="cg", tol=10 * eps, maxiter=400,
+                  preconditioner="block_jacobi", negate=True)
+
+
+def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
+                        prec_bs: int = 128) -> DiaShiftOps:
+    """Assemble the per-shift shifted DIA operators ``A₀ᵀ + μₛEᵀ`` and their
+    block-Jacobi LUs.  ``E``/``A0``: diagonal-set-sharing `DiaOp`s (see
+    `ops.dia.dia_pencil`)."""
+    import jax.scipy.linalg as jsl
+
+    from ..ops.dia import DiaOp
+
+    shifts = jnp.asarray(shifts)
+    if krylov_cfg is None:
+        krylov_cfg = default_dia_krylov(E.dtype, shifts.dtype)
+
+    At, Et = A0.adjoint(), E.adjoint()
+    cdt = jnp.result_type(At.dtype, shifts.dtype)
+
+    def one(mu):
+        data = At.data.astype(cdt) + mu * Et.data.astype(cdt)
+        data_t = At.data_t.astype(cdt) + mu * Et.data_t.astype(cdt)
+        return data, data_t
+
+    data, data_t = jax.vmap(one)(shifts)
+
+    pdt = cdt
+    if krylov_cfg.solve_dtype is not None:
+        pdt = jnp.dtype(krylov_cfg.solve_dtype)
+        if jnp.iscomplexobj(jnp.zeros((), cdt)):
+            pdt = jnp.result_type(pdt, jnp.complex64)
+
+    def blocks(d):
+        op = DiaOp(data=d, data_t=d, offsets=At.offsets, n=At.n,
+                   nnz_=At.nnz_)
+        return op.diag_blocks(prec_bs)
+
+    blk = jax.vmap(blocks)(data.astype(pdt))
+    lu, piv = jax.vmap(jax.vmap(jsl.lu_factor))(blk)
+    return DiaShiftOps(
+        data=data, data_t=data_t, prec_lu=lu, prec_piv=piv,
+        offsets=At.offsets, n=At.n, nnz_=At.nnz_, use_pallas=At.use_pallas,
+        mesh=At.mesh, cfg=krylov_cfg,
+    )
+
+
 def build_sparse_shift_ops(E, A0, shifts, krylov_cfg=None) -> SparseShiftOps:
     """Assemble the per-shift shifted operators and their block-Jacobi LUs.
 
@@ -322,9 +431,24 @@ def ros1_step_compiled(E, A, B, C, X: LowRank, tau, shifts, abstol,
     return X_new, K_new, iters, res
 
 
+def build_step_shift_solvers(E, F_base, shifts, krylov_cfg=None):
+    """Route the batched shifted-core factorization by operator kind:
+    dense → `ShiftLUs`, banded → `DiaShiftOps`, block-ELL →
+    `SparseShiftOps`."""
+    from ..ops.dia import DiaOp
+    from ..ops.operators import DenseOp
+
+    core = F_base.A if isinstance(F_base, LowRankUpdateOp) else F_base
+    if isinstance(core, DenseOp):
+        return build_shift_lus(E, core, shifts)
+    if isinstance(core, DiaOp):
+        return build_dia_shift_ops(E, core, shifts, krylov_cfg)
+    return build_sparse_shift_ops(E, core, shifts, krylov_cfg)
+
+
 def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
                              capacity: int = 128, abstol: float = None,
-                             save_state: bool = False):
+                             save_state: bool = False, krylov_cfg=None):
     """Full LRSIF Ros1 GDRE sweep on the compiled path.
 
     One jitted time step (fixed shapes: iterate capacity `capacity`,
@@ -348,7 +472,7 @@ def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
 
     F_base = lin_comb(A, -1.0 / (2.0 * tau), E)
     shifts = jnp.asarray(shifts)
-    lus = build_shift_lus(E, F_base, shifts)
+    lus = build_step_shift_solvers(E, F_base, shifts, krylov_cfg)
 
     if abstol is None:
         n = E.shape[0]

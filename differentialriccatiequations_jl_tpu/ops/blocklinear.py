@@ -78,6 +78,12 @@ class Krylov:
     restart: int = 40  # gmres only
     preconditioner: str = "jacobi"
     negate: bool = False
+    # Mixed precision (the reference's `uses_mixed_precision` regime,
+    # adi.jl:23-27): run the Krylov core in `solve_dtype` (e.g. "float32" on
+    # TPU, where f64 is software-emulated), recover full-dtype accuracy with
+    # `refine_iters` sweeps of iterative refinement on the residual.
+    solve_dtype: str | None = None
+    refine_iters: int = 2
 
 
 # --- prepared solvers (pytrees) ----------------------------------------------
@@ -136,6 +142,13 @@ class KrylovSolver:
         from jax.scipy.sparse import linalg as spla
 
         cfg = self.cfg
+        # Scale-invariance guard: normalize the RHS so low-precision cores
+        # (solve_dtype="float32") never see denormal/cancellation-prone
+        # magnitudes — iterative-refinement residuals shrink by ~cfg.tol per
+        # sweep and would otherwise hit sporadic CG breakdowns.
+        nrm = jnp.linalg.norm(B)
+        scale = jnp.where(nrm > 0, nrm, 1.0).astype(B.dtype)
+        B = B / scale
         if cfg.negate:
             mv = lambda x: -self.op.mm(x)
             B = -B
@@ -153,7 +166,35 @@ class KrylovSolver:
         else:
             x, _ = spla.bicgstab(mv, B, tol=cfg.tol, atol=cfg.atol,
                                  maxiter=cfg.maxiter, M=precond)
-        return x
+        return x * scale
+
+
+@register_pytree_dataclass(meta_fields=("iters",))
+@dataclasses.dataclass(frozen=True)
+class RefinedKrylovSolver:
+    """Mixed-precision iterative refinement around a low-dtype Krylov core.
+
+    ``x₀ = solve_lo(B)``; then ``iters`` sweeps of ``x += solve_lo(B − A·x)``
+    with the residual evaluated against the full-precision operator.  This is
+    how the f32 Pallas/MXU kernels serve the reference's 1e-10 f64 residual
+    tolerances on TPU (mixed-precision awareness, adi.jl:23-27).
+    """
+
+    op_hi: object  # full-precision operator
+    inner: object  # prepared KrylovSolver on the low-dtype operator
+    iters: int
+
+    def solve(self, B: jax.Array) -> jax.Array:
+        lo = self.inner.op.dtype
+        hi = jnp.result_type(self.op_hi.dtype, B.dtype)
+        B = B.astype(hi)
+        x = self.inner.solve(B.astype(lo)).astype(hi)
+
+        def body(_, x):
+            r = B - self.op_hi.mm(x)
+            return x + self.inner.solve(r.astype(lo)).astype(hi)
+
+        return jax.lax.fori_loop(0, self.iters, body, x)
 
 
 def _extract_diag(op) -> jax.Array:
@@ -188,6 +229,18 @@ def prepare(A, alg) -> object:
         schur = prepare(DenseOp(S), alg.inner)
         return SMWSolver(base=base, AinvU=AinvU, V=A.V, schur=schur)
     if isinstance(alg, Krylov):
+        if alg.solve_dtype is not None:
+            lo = jnp.dtype(alg.solve_dtype)
+            if jnp.iscomplexobj(jnp.zeros((), A.dtype)):
+                lo = jnp.result_type(lo, jnp.complex64)
+            if lo != A.dtype:
+                from .operators import op_astype
+
+                inner = prepare(
+                    op_astype(A, lo), dataclasses.replace(alg, solve_dtype=None)
+                )
+                return RefinedKrylovSolver(op_hi=A, inner=inner,
+                                           iters=alg.refine_iters)
         if alg.preconditioner == "block_jacobi" and hasattr(A, "diag_blocks"):
             lu, piv = jax.vmap(jsl.lu_factor)(A.diag_blocks())
             prec = (lu, piv)

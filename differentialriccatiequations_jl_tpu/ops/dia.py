@@ -108,6 +108,10 @@ class DiaOp:
             w = w.reshape(nb, bs)
             r = np.arange(max(0, -off), bs - max(0, off))
             blocks = blocks.at[:, r, r + off].add(w[:, r])
+        # identity in the padding rows (n..Np) keeps the block LUs regular
+        pad = (jnp.arange(Np).reshape(nb, bs) >= self.n).astype(self.dtype)
+        r = np.arange(bs)
+        blocks = blocks.at[:, r, r].add(pad)
         return blocks
 
     def mm(self, X: jax.Array) -> jax.Array:
@@ -274,6 +278,8 @@ def _dia_mm_halo(data, offsets, X, mesh):
     axis = _par.mesh.AXIS
     N, q = X.shape
     ndev = mesh.devices.size
+    if N % ndev:
+        raise ValueError(f"padded size {N} not divisible by mesh size {ndev}")
     nl = N // ndev
     H = max((abs(o) for o in offsets), default=0)
     if H > nl:

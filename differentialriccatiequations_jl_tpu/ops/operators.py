@@ -166,3 +166,34 @@ def operator_nnz(op) -> int:
     if isinstance(op, LowRankUpdateOp):
         return operator_nnz(op.A) + op.U.size + op.V.size
     return op.nnz
+
+
+def op_astype(op, dtype):
+    """Cast an operator's stored data to ``dtype`` (mixed-precision inner
+    solves: the reference's `uses_mixed_precision` regime, adi.jl:23-27)."""
+    dtype = jnp.dtype(dtype)
+    if isinstance(op, LowRankUpdateOp):
+        return LowRankUpdateOp(
+            op_astype(op.A, dtype),
+            op.alpha.astype(dtype),
+            op.U.astype(dtype),
+            op.V.astype(dtype),
+        )
+    if isinstance(op, DenseOp):
+        return DenseOp(op.M.astype(dtype))
+    from .dia import DiaOp
+
+    if isinstance(op, DiaOp):
+        return dataclasses.replace(
+            op, data=op.data.astype(dtype), data_t=op.data_t.astype(dtype)
+        )
+    from .sparse import BellOp
+
+    if isinstance(op, BellOp):
+        return dataclasses.replace(
+            op,
+            data=op.data.astype(dtype),
+            data_t=op.data_t.astype(dtype),
+            diag_=op.diag_.astype(dtype),
+        )
+    raise TypeError(f"cannot cast operator {type(op)}")

@@ -1,4 +1,15 @@
-"""Multi-device dry run: jit the full compiled GDRE step over a mesh."""
+"""Multi-device dry run: the full compiled sparse GDRE step over a mesh.
+
+This is the BASELINE north-star configuration in miniature: a banded
+(5-point-stencil) surrogate pencil in DIA storage, row-sharded over a 1-D
+device mesh, one complete LRSIF Ros1 time step — RHS assembly, the ADI
+`lax.while_loop` with block-Jacobi-preconditioned Krylov shifted solves
+(each SpMM a halo-exchange `shard_map` with two `ppermute`s over ICI),
+complex double steps, periodic compression, the SMW feedback correction —
+in a single jit.  The reference's cross-device oracle is a trajectory
+comparison (test/cuda.jl:86-101); the pytest analog lives in
+tests/test_sharded_gdre.py.
+"""
 
 from __future__ import annotations
 
@@ -9,43 +20,58 @@ import jax.numpy as jnp
 
 from ..config import default_dtype
 from ..lowrank import lowrank, lr_with_capacity
-from ..models.compiled import CompiledConfig, ros1_step_compiled
-from ..ops.operators import DenseOp
+from ..models.compiled import (
+    CompiledConfig,
+    build_dia_shift_ops,
+    ros1_step_compiled,
+)
+from ..ops.dia import dia_pencil
 from ..utils.testmat import rail_surrogate
 from .mesh import make_mesh, shard_lowrank, shard_operator, shard_replicated
 
 
 def dryrun_multichip(n_devices: int) -> None:
-    """Create an `n_devices` mesh, shard the flagship LRSIF Ros1 step
-    (row-partitioned operators/factors + replicated small algebra — the
-    library's spatial analog of tp/sp; see parallel/mesh.py), and execute
-    one full compiled time step on tiny shapes."""
+    """Create an `n_devices` mesh, shard the flagship sparse LRSIF Ros1 step
+    (row-partitioned DIA operators + factors, halo-exchange SpMM inside the
+    ADI while-loop, replicated small algebra), and execute one full compiled
+    time step on tiny shapes."""
     mesh = make_mesh(n_devices)
     dt = default_dtype()
 
-    n = 16 * n_devices  # divisible by the mesh
+    n = 64 * n_devices
     E, A, B, C = rail_surrogate(n)
-    E_op = shard_operator(mesh, DenseOp(jnp.asarray(E.toarray(), dt)))
-    A_op = shard_operator(mesh, DenseOp(jnp.asarray(A.toarray(), dt)))
+    E_op, A_op = dia_pencil(E, A, dtype=dt, pad_to=n_devices)
+    E_op = shard_operator(mesh, E_op)
+    A_op = shard_operator(mesh, A_op)
     B_d = shard_replicated(mesh, jnp.asarray(B, dt))
     C_d = shard_replicated(mesh, jnp.asarray(C, dt))
 
     q = C.shape[0]
-    L0 = np.linalg.solve(E.toarray(), np.asarray(C).T)
-    X0 = lr_with_capacity(lowrank(jnp.asarray(L0, dt), 0.01 * jnp.eye(q, dtype=dt)), 64)
+    import scipy.sparse.linalg as spla
+
+    L0 = spla.splu(E.tocsc()).solve(np.asarray(C).T.copy())
+    X0 = lr_with_capacity(
+        lowrank(jnp.asarray(L0, dt), 0.01 * jnp.eye(q, dtype=dt)), 64
+    )
     X0 = shard_lowrank(mesh, X0)
 
+    # Complex buffer (conjugate pair adjacent) exercises the double step +
+    # complex Krylov on the sharded path.
+    cdt = jnp.complex128 if dt == jnp.float64 else jnp.complex64
     shifts = shard_replicated(
-        mesh,
-        jnp.asarray([-0.5, -1.0 + 0.5j, -1.0 - 0.5j, -2.0], jnp.complex128
-                    if dt == jnp.float64 else jnp.complex64),
+        mesh, jnp.asarray([-0.5, -1.0 + 0.5j, -1.0 - 0.5j, -2.0], cdt)
     )
-    cfg = CompiledConfig(maxiters=8, compression_interval=4, r_res=16)
+    tau = 20.0
+    from ..ops.operators import lin_comb
 
+    F_base = lin_comb(A_op, -1.0 / (2.0 * tau), E_op)
+    lus = build_dia_shift_ops(E_op, F_base, shifts)
+
+    cfg = CompiledConfig(maxiters=8, compression_interval=4, r_res=16)
     with mesh:
         X1, K1, iters, res = ros1_step_compiled(
-            E_op, A_op, B_d, C_d, X0, jnp.asarray(20.0, dt), shifts,
-            jnp.asarray(1e-8, dt), cfg,
+            E_op, A_op, B_d, C_d, X0, jnp.asarray(tau, dt), shifts,
+            jnp.asarray(1e-8, dt), cfg, lus,
         )
         jax.block_until_ready((X1.L, K1))
     assert np.isfinite(float(res))

@@ -50,6 +50,23 @@ def replicated(mesh: Mesh):
 
 def shard_operator(mesh: Mesh, op):
     """Place an operator with row-partitioned layout."""
+    from ..ops.dia import DiaOp
+    import dataclasses as _dc
+
+    if isinstance(op, DiaOp):
+        # diagonal storage: the row dimension is the *column* axis of data;
+        # attach the mesh so mm/tmm run the halo-exchange shard_map path.
+        sh = NamedSharding(mesh, P(None, AXIS))
+        if op.N % mesh.devices.size:
+            raise ValueError(
+                f"DiaOp padded size {op.N} not divisible by mesh size "
+                f"{mesh.devices.size}; build with pad_to=mesh size")
+        return _dc.replace(
+            op,
+            data=jax.device_put(op.data, sh),
+            data_t=jax.device_put(op.data_t, sh),
+            mesh=mesh,
+        )
     if isinstance(op, DenseOp):
         return DenseOp(jax.device_put(op.M, NamedSharding(mesh, P(AXIS, None))))
     if isinstance(op, LowRankUpdateOp):

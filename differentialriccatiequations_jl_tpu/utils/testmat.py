@@ -90,8 +90,9 @@ def rail_surrogate(n: int, *, m: int = 7, q: int = 6, seed=0):
     lap = sp.kronsum(Tx, Ty, format="csr")  # (total, total), entries ~ −4..1
     lap = lap[:n, :n]
 
-    h2 = 1.0 / (nx + 1) ** 2
-    A = (lap / 1.0) - 0.05 * sp.eye(n)  # absorption keeps A ≺ 0
+    # Rail's FEM stiffness entries are O(1) (conductivity scaling absorbs
+    # the 1/h² mesh factor); keep the unscaled stencil to match that regime.
+    A = lap - 0.05 * sp.eye(n)  # absorption keeps A ≺ 0
     A = A.tocsr()
 
     # Mass-like E: strictly diagonally dominant, same pattern family.
@@ -113,7 +114,46 @@ def rail_surrogate(n: int, *, m: int = 7, q: int = 6, seed=0):
         width = max(2, n // (3 * q))
         idx = np.arange(max(0, center - width), min(n, center + width))
         C[i, idx] = 1.0 / len(idx)
-    _ = h2
+    return E, A, B, C
+
+
+def conv_diff_surrogate(n: int, *, m: int = 7, q: int = 6, peclet: float = 2.0,
+                        wind=(1.0, 0.4), seed=0):
+    """2D convection–diffusion surrogate: **nonsymmetric** stable ``A``.
+
+    ``A = Δ/h² − w·∇_upwind/h − 0.05·I`` with the wind speed set so the mesh
+    Péclet number is ``peclet`` (> 1 ⇒ genuinely complex spectrum: Penzl and
+    projection shifts come in conjugate pairs, exercising the ADI double
+    step at any n — the scale analog of the reference's nonsymmetric E×A
+    grid, test/tiny_random.jl:20-47).  ``E`` is the same SPD mass-like
+    matrix as `rail_surrogate`.  Returns scipy CSR (E, A) and dense (B, C).
+    """
+    rng = _rng(seed)
+    nx, ny = _grid_shape(n)
+    h = 1.0 / (nx + 1)
+
+    ex = np.ones(nx)
+    ey = np.ones(ny)
+    Tx = sp.diags([ex[:-1], -2 * ex, ex[:-1]], [-1, 0, 1])
+    Ty = sp.diags([ey[:-1], -2 * ey, ey[:-1]], [-1, 0, 1])
+    lap = sp.kronsum(Tx, Ty, format="csr") / (h * h)
+
+    # Upwind first-order differences: D = (I − S₋)/h (for wind > 0).
+    Dx = (sp.eye(nx) - sp.eye(nx, k=-1)) / h
+    Dy = (sp.eye(ny) - sp.eye(ny, k=-1)) / h
+    # kronsum(Tx, Ty) = kron(I_ny, Tx) + kron(Ty, I_nx): x varies fastest.
+    conv = sp.kron(sp.eye(ny), Dx) * wind[0] + sp.kron(Dy, sp.eye(nx)) * wind[1]
+    # Scale the wind so w·h/2 = peclet (mesh Péclet number).
+    wscale = 2.0 * peclet / h / max(abs(wind[0]), abs(wind[1]))
+    A = (lap - wscale * conv.tocsr())[:n, :n] - 0.05 * sp.eye(n)
+    A = A.tocsr()
+
+    diag_w = 4.0 + rng.random(n)
+    off = sp.diags([np.ones(n - 1), np.ones(n - 1)], [-1, 1])
+    E = (sp.diags(diag_w) + 0.5 * off).tocsr()
+    E = (0.5 * (E + E.T)).tocsr()
+
+    _, _, B, C = rail_surrogate(n, m=m, q=q, seed=seed)
     return E, A, B, C
 
 

@@ -119,8 +119,11 @@ def test_dia_diag_and_blocks():
     blocks = np.asarray(op.diag_blocks(bs))
     dense = M.toarray()
     nb = -(-40 // bs)
-    padded = np.zeros((nb * bs, nb * bs))
+    # padding rows carry identity so the block LUs stay regular
+    padded = np.eye(nb * bs)
     padded[:40, :40] = dense
+    padded[:40, 40:] = 0.0
+    padded[40:, :40] = 0.0
     for b in range(nb):
         expect = padded[b * bs:(b + 1) * bs, b * bs:(b + 1) * bs].copy()
         # couplings crossing the block boundary are dropped by block-Jacobi
