@@ -44,6 +44,7 @@ from ..lowrank import (
     round_up,
 )
 from ..utils.callbacks import notify
+from ..utils.timers import timeit
 from ..ops.blocklinear import Backslash, SMWSolver, prepare
 from ..ops.operators import DenseOp, LowRankUpdateOp
 from ..ops.shifted import prepare_shifted
@@ -236,30 +237,39 @@ class ADISolver:
 
     def step(self) -> None:
         alg, E = self.alg, self.prob.E
-        mu = self.oracle.take()
+        with timeit("adi.shifts"):
+            mu = self.oracle.take()
         notify(self.observer, "gale_metadata", "ADI shifts", mu)
         if mu.imag == 0.0:
             self.shifts.append(mu)
             self._ensure_capacity(self.q)
-            solver = self._solver_for(mu)
+            with timeit("adi.prepare_shifted"):
+                solver = self._solver_for(mu)
             m = jnp.asarray(mu.real, self.W.dtype)
-            V, self.W, self.X = _step_real(E, solver, m, self.W, self.T, self.X)
+            with timeit("adi.shifted_solve"):
+                V, self.W, self.X = _step_real(E, solver, m, self.W, self.T,
+                                               self.X)
             self.last_compression += 1
-            self.oracle.update(self.X, self.W, V)
+            with timeit("adi.shifts"):
+                self.oracle.update(self.X, self.W, V)
             collapse = not bool(jnp.any(V != 0))
         else:
-            mu2 = self.oracle.take()
+            with timeit("adi.shifts"):
+                mu2 = self.oracle.take()
             notify(self.observer, "gale_metadata", "ADI shifts", mu2)
             assert abs(mu2 - mu.conjugate()) <= 1e-8 * abs(mu), \
                 "complex shifts must come in conjugate pairs"
             self.shifts.extend((mu, mu2))
             self._ensure_capacity(2 * self.q)
-            solver = self._solver_for(mu)
+            with timeit("adi.prepare_shifted"):
+                solver = self._solver_for(mu)
             m = jnp.asarray(mu, jnp.result_type(self.W.dtype, jnp.complex64))
-            V1, V2, self.W, self.X = _step_double(E, solver, m, self.W, self.T,
-                                                  self.X)
+            with timeit("adi.shifted_solve"):
+                V1, V2, self.W, self.X = _step_double(E, solver, m, self.W,
+                                                      self.T, self.X)
             self.last_compression += 2
-            self.oracle.update(self.X, self.W, V1, V2)
+            with timeit("adi.shifts"):
+                self.oracle.update(self.X, self.W, V1, V2)
             collapse = not (bool(jnp.any(V1 != 0)) or bool(jnp.any(V2 != 0)))
 
         self._collapsed = collapse  # iteration collapse (adi.jl:134-137)
@@ -267,7 +277,8 @@ class ADISolver:
         if alg.compression and self.last_compression >= alg.compression_interval:
             self.compress()
 
-        self.residual_norm = float(_residual_norm(self.W, self.T))
+        with timeit("adi.residual_norm"):
+            self.residual_norm = float(_residual_norm(self.W, self.T))
         notify(self.observer, "gale_step", self.iters, self.X,
                self.residual_lowrank(), self.residual_norm)
 
@@ -282,7 +293,8 @@ class ADISolver:
                 )
 
     def compress(self) -> None:
-        self.X = lr_compress(self.X)
+        with timeit("adi.compress"):
+            self.X = lr_compress(self.X)
         self.last_compression = 0
 
     def residual_lowrank(self) -> LowRank:

@@ -500,3 +500,204 @@ def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
     sol = DRESolution(Xs, Ks, tstops)
     sol.adi_iters = iters_total
     return sol
+
+
+_ROS2_GAMMA = 1.0 + 1.0 / math.sqrt(2.0)  # lowrank_ros2.jl:22
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ros2_step_compiled(E, A, B, C, X: LowRank, tau, shifts, abstol,
+                       cfg: CompiledConfig, shift_lus):
+    """One full LRSIF Ros2 (2-stage Rosenbrock) GDRE time step in one jit.
+
+    Mirrors the host driver (`rosenbrock_lowrank.solve_gdre_lowrank_ros2`;
+    reference lowrank_ros2.jl:34-72): stage-1 GALE with the indefinite 3×3
+    block RHS, stage-2 GALE built from the stage-1 solution, combination
+    ``X += (2 − 1/(2γ))τ·K₁ − (τ/2)·K₂``.  ``shift_lus`` must be built for
+    the pencil ``(E, γτA − E/2)``.  Returns (X_next, K_next, adi_iters,
+    max stage residual norm).
+    """
+    from .rosenbrock_lowrank import _ros2_rhs1, _ros2_rhs2
+
+    gamma = _ROS2_GAMMA
+    gt = gamma * tau
+    L, D = X.L, X.D
+    BtLD = (B.T @ L) @ D
+    K = BtLD @ E.tmm(L).T
+
+    # F = γτ·A − E/2 − γτ·B K  (lowrank_ros2.jl:40); the core γτA − E/2 is
+    # what shift_lus factors, the feedback is the SMW-absorbed update.
+    from ..ops.operators import scale_op
+
+    F_core = lin_comb(scale_op(A, gt), -0.5, E)
+    F = LowRankUpdateOp(F_core, jnp.asarray(-1.0, B.dtype) / gt, B, K)
+
+    zero = LowRank(L=jnp.zeros_like(X.L), D=jnp.zeros_like(X.D),
+                   k=jnp.int32(0))
+
+    R1 = lr_compress(_ros2_rhs1(E, A, B, C, X), r_out=cfg.r_res)
+    W1 = _masked_cols(R1.L, R1.k)
+    K1, _, it1, res1 = adi_compiled(E, F, W1, R1.D, R1.k, zero, shifts,
+                                    abstol, cfg, shift_lus)
+
+    R2 = lr_compress(_ros2_rhs2(E, B, K1, tau, gamma), r_out=cfg.r_res)
+    W2 = _masked_cols(R2.L, R2.k)
+    K2, _, it2, res2 = adi_compiled(E, F, W2, R2.D, R2.k, zero, shifts,
+                                    abstol, cfg, shift_lus)
+
+    # X ← X + (2 − 1/(2γ))τ·K₁ − (τ/2)·K₂  (lowrank_ros2.jl:71-72), folded
+    # back into the static state capacity.
+    X1 = lr_add(X, LowRank(L=K1.L, D=(2.0 - 1.0 / (2.0 * gamma)) * tau * K1.D,
+                           k=K1.k), r_out=2 * X.r)
+    X1 = lr_add(X1, LowRank(L=K2.L, D=(-tau / 2.0) * K2.D, k=K2.k),
+                r_out=2 * X.r)
+    X_new = lr_compress(X1, r_out=X.r)
+
+    L2, D2 = X_new.L, X_new.D
+    K_new = ((B.T @ L2) @ D2) @ E.tmm(L2).T
+    return X_new, K_new, it1 + it2, jnp.maximum(res1, res2)
+
+
+def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
+                             capacity: int = 128, abstol: float = None,
+                             save_state: bool = False, krylov_cfg=None):
+    """Full LRSIF Ros2 GDRE sweep on the compiled path (the BASELINE.md
+    throughput configuration).  The shifted cores ``(γτA − E/2)ᵀ + μEᵀ``
+    are factored once for the whole trajectory."""
+    from ..lowrank import lr_with_capacity
+    from ..ops.operators import scale_op
+    from .problems import DRESolution
+    from .rosenbrock_lowrank import time_grid
+
+    E, A, B, C = prob.E, prob.A, prob.B, prob.C
+    X = lr_with_capacity(lr_compress(prob.X0, r_out=prob.X0.r), capacity)
+    tstops = time_grid(prob.tspan, dt)
+    tau = float(tstops[0] - tstops[1])
+
+    F_core = lin_comb(scale_op(A, _ROS2_GAMMA * tau), -0.5, E)
+    shifts = jnp.asarray(shifts)
+    lus = build_step_shift_solvers(E, F_core, shifts, krylov_cfg)
+
+    if abstol is None:
+        n = E.shape[0]
+        abstol = float(
+            n * jnp.finfo(B.dtype).eps * jnp.linalg.norm(C, "fro")
+        )
+    abstol = jnp.asarray(abstol, B.dtype)
+    tau_d = jnp.asarray(tau, B.dtype)
+
+    Xs = [X]
+    L0, D0 = X.L, X.D
+    Ks = [((B.T @ L0) @ D0) @ E.tmm(L0).T]
+    iters_total = 0
+    for i in range(1, len(tstops)):
+        X, K, iters, res = ros2_step_compiled(E, A, B, C, X, tau_d, shifts,
+                                              abstol, cfg, lus)
+        iters_total += int(iters)
+        Ks.append(K)
+        if save_state:
+            Xs.append(X)
+    if not save_state:
+        Xs.append(X)
+    sol = DRESolution(Xs, Ks, tstops)
+    sol.adi_iters = iters_total
+    return sol
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _newton_step_compiled(E, A, B, Ct, X: LowRank, K, shifts, inner_abstol,
+                          cfg: CompiledConfig, shift_lus):
+    """One Kleinman–Newton step: closed-loop GALE warm-started at X
+    (newton.jl:101-142), fully jitted.  Returns (X_new, adi_iters, res)."""
+    from .residuals import residual_gale_lowrank
+
+    q = Ct.shape[1]
+    m = B.shape[1]
+    F = LowRankUpdateOp(A, jnp.asarray(-1.0, B.dtype), B, K)
+
+    L, D = X.L, X.D
+    EtL = E.tmm(L)
+    BtLD = (B.T @ L) @ D
+    EtXB = EtL @ BtLD.T
+    G = jnp.concatenate([Ct, EtXB], axis=1)
+    S = jnp.eye(q + m, dtype=B.dtype)
+    RHS = LowRank(L=G, D=S, k=jnp.int32(q + m))
+
+    res0 = residual_gale_lowrank(E, F, RHS, X, r_out=cfg.r_res)
+    W0 = _masked_cols(res0.L, res0.k)
+    X_new, _, iters, res = adi_compiled(E, F, W0, res0.D, res0.k, X, shifts,
+                                        inner_abstol, cfg, shift_lus)
+    return X_new, iters, res
+
+
+def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
+                               capacity: int = 192, maxiters: int = 20,
+                               reltol: float = None, inexact: bool = True,
+                               krylov_cfg=None, observer=None):
+    """Kleinman–Newton for the GARE over the compiled ADI (newton.jl:36-143
+    with quadratic Dembo forcing + hybrid switch-back; no line search — the
+    compiled path targets the reference's benchmark configuration,
+    benchmark/benchmarks.jl:32-49).  The shifted cores ``Aᵀ + μEᵀ`` are
+    factored once; per Newton step only the rank-m feedback changes and is
+    absorbed by the SMW correction inside the compiled ADI.
+
+    Returns (X, info dict with residual history and ADI iteration counts).
+    """
+    import numpy as np
+
+    from ..lowrank import lr_norm, lr_with_capacity, lr_zero
+    from ..utils.callbacks import notify
+    from .residuals import residual_gare_lowrank
+
+    E, A, Q = prob.E, prob.A, prob.Q
+    B = prob.G.L[:, : int(prob.G.k)]
+    Ct = Q.L[:, : int(Q.k)]
+    n = E.shape[0]
+    dtype = B.dtype
+    notify(observer, "gare_start", prob, None)
+
+    if reltol is None:
+        reltol = n * float(jnp.finfo(dtype).eps)
+    res_norm = float(lr_norm(Q))
+    abstol = reltol * res_norm
+    inner_reltol = reltol / 10.0
+
+    shifts = jnp.asarray(shifts)
+    lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
+
+    X = lr_zero(n, capacity, dtype)
+    history, adi_iters = [], []
+    for i in range(maxiters + 1):
+        L, D = X.L, X.D
+        K = ((B.T @ L) @ D) @ E.tmm(L).T
+        res = residual_gare_lowrank(E, A, prob.G, Q, X, r_out=cfg.r_res)
+        res_norm = float(lr_norm(res))
+        history.append(res_norm)
+        notify(observer, "gare_step", i, X, res, res_norm)
+        if res_norm <= abstol:
+            break
+        if i == maxiters:
+            notify(observer, "gare_failed")
+            import warnings
+
+            warnings.warn(
+                f"compiled Newton did not converge: residual={res_norm:g} "
+                f"abstol={abstol:g} maxiters={maxiters}")
+            break
+
+        if inexact:
+            # quadratic forcing η = min(0.1, 0.9·‖res‖) (newton.jl:149-155)
+            # with hybrid switch-back to the classical tolerance.
+            eta = min(0.1, 0.9 * res_norm)
+            inner_abstol = max(eta * res_norm, inner_reltol * res_norm)
+        else:
+            inner_abstol = inner_reltol * res_norm
+
+        X, iters, _ = _newton_step_compiled(
+            E, A, B, Ct, X, K, shifts, jnp.asarray(inner_abstol, dtype),
+            cfg, lus)
+        adi_iters.append(int(iters))
+
+    notify(observer, "gare_done", len(history) - 1, X, None, res_norm)
+    return X, {"residuals": history, "adi_iters": adi_iters,
+               "abstol": abstol}

@@ -31,6 +31,7 @@ from ..lowrank import (
     round_up,
 )
 from ..utils.callbacks import notify
+from ..utils.timers import timeit
 from .problems import ADI, GALEProblem, GMRES
 from .residuals import residual_gale_lowrank
 from . import shifts as shifts_mod
@@ -109,17 +110,19 @@ def solve_gale_gmres(prob: GALEProblem, alg: GMRES, *, initial_guess=None,
             if precond is None:
                 Z[j] = V[j]
             else:
-                Z[j] = solve_gale_adi(GALEProblem(E, A, V[j]), precond,
-                                      observer=observer)
-            W = _apply_lyapunov_operator(E, A, Z[j])
+                with timeit("gmres.preconditioner"):
+                    Z[j] = solve_gale_adi(GALEProblem(E, A, V[j]), precond,
+                                          observer=observer)
+            with timeit("gmres.lyapunov_op"):
+                W = _apply_lyapunov_operator(E, A, Z[j])
             if alg.compression:
                 W = lr_compress(W, r_out=round_up(int(W.k) + 1, 8))
             for i in range(j + 1):
                 H[i, j] = float(lr_dot(V[i], W))
                 W = lr_add(W, lr_scale(-H[i, j], V[i]),
                            r_out=W.r + V[i].r)
-            H[j + 1, j] = float(lr_norm(W))
-            V[j + 1] = lr_scale(1.0 / H[j + 1, j], W)
+            hjj = float(lr_norm(W))
+            H[j + 1, j] = hjj
 
             # Least squares min ‖b − Hy‖ for the current Hessenberg block:
             m = j + 1
@@ -127,8 +130,14 @@ def solve_gale_gmres(prob: GALEProblem, alg: GMRES, *, initial_guess=None,
             bm = b[: m + 1]
             y, *_ = np.linalg.lstsq(Hm, bm, rcond=None)
             residual_norm = float(np.linalg.norm(bm - Hm @ y))
+            # Happy breakdown: the Krylov space is invariant — the solution
+            # is exact in the current subspace; normalizing W would divide
+            # by ~0.
+            if hjj <= 1e4 * float(jnp.finfo(dtype).eps) * beta:
+                break
             if residual_norm <= abstol:
                 break
+            V[j + 1] = lr_scale(1.0 / hjj, W)
             notify(observer, "gale_step", m, None, None, residual_norm)
             if alg.compression:
                 V[j + 1] = lr_compress(
@@ -141,6 +150,10 @@ def solve_gale_gmres(prob: GALEProblem, alg: GMRES, *, initial_guess=None,
                        r_out=X.r + Z[jj].r)
         if alg.compression:
             X = lr_compress(X, r_out=round_up(int(X.k) + 1, 8))
+        # The small-LS estimate drifts from the true residual under basis
+        # compression (gmres.jl:70-74) — terminate (and warn) only on the
+        # *true* low-rank residual.
+        residual_norm = float(lr_norm(residual_gale_lowrank(E, A, C, X)))
         notify(observer, "gale_step", m, X, None, residual_norm)
         if residual_norm <= abstol:
             break

@@ -31,6 +31,7 @@ from ..lowrank import (
 )
 from ..ops.operators import lr_update
 from ..utils.callbacks import notify
+from ..utils.timers import timeit
 from .adi import solve_gale_adi
 from .problems import ADI, GALEProblem, GAREProblem, Newton
 from .residuals import residual_gare_lowrank
@@ -82,9 +83,10 @@ def solve_gare_newton(prob: GAREProblem, alg: Newton, *, observer=None) -> LowRa
         EtL = E.tmm(L)
         BtLD = (B.T @ L) @ D
         K = BtLD @ EtL.T
-        res = residual_gare_lowrank(E, A, prob.G, Q, X)
-        res_norm_prev = res_norm
-        res_norm = float(lr_norm(res))
+        with timeit("newton.residual"):
+            res = residual_gare_lowrank(E, A, prob.G, Q, X)
+            res_norm_prev = res_norm
+            res_norm = float(lr_norm(res))
 
         if i > 0 and alg.linesearch:
             # Armijo line search (newton.jl:49-90).
@@ -153,10 +155,11 @@ def solve_gare_newton(prob: GAREProblem, alg: Newton, *, observer=None) -> LowRa
             inner_abstol = inner_reltol * float(lr_norm(RHS))
 
         X_prev = X
-        X = lr_slice_active(solve_gale_adi(
-            lyap, inner_alg, abstol=inner_abstol, initial_guess=X_prev,
-            observer=observer, shift_cache=shift_cache,
-        ))
+        with timeit("newton.gale_solve"):
+            X = lr_slice_active(solve_gale_adi(
+                lyap, inner_alg, abstol=inner_abstol, initial_guess=X_prev,
+                observer=observer, shift_cache=shift_cache,
+            ))
 
     notify(observer, "gare_done", i, X, res, res_norm)
     return X

@@ -33,6 +33,7 @@ from ..lowrank import (
 from ..ops.operators import lin_comb, lr_update, scale_op
 from ..ops.shifted import ShiftedSolveCache
 from ..utils.callbacks import notify
+from ..utils.timers import timeit
 from .adi import solve_gale_adi
 from .problems import ADI, GALEProblem, GDREProblem, DRESolution, Ros1, Ros2
 
@@ -100,8 +101,9 @@ def solve_gdre_lowrank_ros1(prob: GDREProblem, alg: Ros1, *, dt: float,
         R = _ros1_rhs(E, B, C, X, tau)
 
         lyap = GALEProblem(E, F, R)
-        X = solve_gale_adi(lyap, inner_alg, initial_guess=X, observer=observer,
-                           shift_cache=cache)
+        with timeit("gdre.gale_solve"):
+            X = solve_gale_adi(lyap, inner_alg, initial_guess=X,
+                               observer=observer, shift_cache=cache)
         X = lr_slice_active(X)
         if save_state:
             Xs.append(X)

@@ -123,6 +123,21 @@ class DiaOp:
         return _dia_mm(self.data_t, offs_t, X, self.n,
                        self.use_pallas, self.mesh)
 
+    def mmT(self, Xt: jax.Array) -> jax.Array:
+        """Lane-major SpMM: ``(A @ Xtᵀ)ᵀ`` on a ``(q, N)`` operand.
+
+        On TPU the problem dimension must ride the 128-wide lanes: row
+        shifts become cheap lane slices instead of cross-tile sublane
+        relayouts (~15× on v5e).  Krylov inner solvers keep their entire
+        state in this layout (ops/blocklinear.py) so the transposes happen
+        once per solve, not once per SpMM.
+        """
+        if self.mesh is not None:
+            return _dia_mm_halo(self.data, self.offsets, Xt.T, self.mesh).T
+        if self.use_pallas and _on_tpu() and self.data.dtype != jnp.float64:
+            return _dia_mm_pallas_t(self.data, self.offsets, Xt)
+        return _dia_mm_t_xla(self.data, self.offsets, Xt)
+
     def adjoint(self) -> "DiaOp":
         # Reverse so the (negated) offsets stay ascending.
         return DiaOp(
@@ -193,10 +208,36 @@ def _dia_mm_xla(data, offsets, X):
     return Y
 
 
-def _dia_mm_pallas(data, offsets, X):
-    """Pallas DIA SpMM in transposed layout.
+def _dia_mm_t_xla(data, offsets, Xt):
+    """Lane-major XLA path: ``Y[q, i] = Σ_d w[d, i] · Xt[q, i + off_d]``.
 
-    ``Yᵀ[:, i] = Σ_d w[d, i] · Xᵀ[:, i + off_d]`` — the problem dimension
+    One aligned pad + ndiag lane-sliced multiply-adds, fused by XLA into a
+    single streaming loop.  Shifts along lanes avoid the cross-tile sublane
+    relayouts that make the (N, q) layout ~15× slower on TPU.
+    """
+    q, N = Xt.shape
+    H = max((abs(o) for o in offsets), default=0)
+    Xp = jnp.pad(Xt, ((0, 0), (H, H)))
+    out_dt = jnp.result_type(data.dtype, Xt.dtype)
+    Y = jnp.zeros((q, N), out_dt)
+    for d, off in enumerate(offsets):
+        Y = Y + data[d][None, :].astype(out_dt) * jax.lax.slice_in_dim(
+            Xp, H + off, H + off + N, axis=1
+        ).astype(out_dt)
+    return Y
+
+
+def _dia_mm_pallas(data, offsets, X):
+    """Pallas DIA SpMM: transpose to lane-major, run the kernel, transpose
+    back (use `mmT`/`_dia_mm_pallas_t` to amortize the transposes across a
+    whole Krylov solve)."""
+    return _dia_mm_pallas_t(data, offsets, X.T).T
+
+
+def _dia_mm_pallas_t(data, offsets, Xt):
+    """Pallas DIA SpMM in lane-major layout, ``Xt: (q, N) → (q, N)``.
+
+    ``Y[:, i] = Σ_d w[d, i] · Xt[:, i + off_d]`` — the problem dimension
     rides the 128-wide lanes (shifts become lane-slices of an extended
     block), the RHS width rides the sublanes, and the diagonal weights
     broadcast over sublanes.  Pure VPU work at streaming HBM bandwidth; one
@@ -208,19 +249,23 @@ def _dia_mm_pallas(data, offsets, X):
     from jax.experimental.pallas import tpu as pltpu
 
     ndiag, N = data.shape
-    q = X.shape[1]
+    q = Xt.shape[0]
     qt = max(8, -(-q // 8) * 8)
     H = max((abs(o) for o in offsets), default=0)
+    # Mosaic requires DMA slice offsets/widths 128-lane aligned — round the
+    # halo up to the lane width (the in-register shifted reads below may be
+    # unaligned; the HBM→VMEM copy may not).
+    Hp = -(-H // 128) * 128
     BN = 2048
-    while BN < 2 * H:
+    while BN < 2 * Hp:
         BN *= 2
     Np = -(-N // BN) * BN
     nb = Np // BN
 
-    # Transposed, halo-padded operand: (qt, Np + 2H) so every extended block
-    # read is an in-range static-width slice.
-    Xt = jnp.zeros((qt, Np + 2 * H), X.dtype)
-    Xt = jax.lax.dynamic_update_slice(Xt, X.T, (0, H))
+    # Halo-padded operand: (qt, Np + 2Hp) so every extended block read is an
+    # in-range static-width slice.
+    Xp = jnp.zeros((qt, Np + 2 * Hp), Xt.dtype)
+    Xp = jax.lax.dynamic_update_slice(Xp, Xt, (0, Hp))
     Wp = jnp.pad(data, ((0, 0), (0, Np - N)))
 
     def kernel(xt_hbm, w_ref, y_ref):
@@ -228,7 +273,7 @@ def _dia_mm_pallas(data, offsets, X):
 
         def body(xbuf, sem):
             cp = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(i * BN, BN + 2 * H)], xbuf, sem
+                xt_hbm.at[:, pl.ds(i * BN, BN + 2 * Hp)], xbuf, sem
             )
             cp.start()
             cp.wait()
@@ -236,13 +281,13 @@ def _dia_mm_pallas(data, offsets, X):
             for d, off in enumerate(offsets):
                 w = w_ref[d, :].reshape(1, BN)
                 acc = acc + w * jax.lax.slice_in_dim(
-                    xbuf[...], H + off, H + off + BN, axis=1
+                    xbuf[...], Hp + off, Hp + off + BN, axis=1
                 )
             y_ref[...] = acc
 
         pl.run_scoped(
             body,
-            xbuf=pltpu.VMEM((qt, BN + 2 * H), X.dtype),
+            xbuf=pltpu.VMEM((qt, BN + 2 * Hp), Xt.dtype),
             sem=pltpu.SemaphoreType.DMA,
         )
 
@@ -250,19 +295,19 @@ def _dia_mm_pallas(data, offsets, X):
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Xt stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # Xp stays in HBM
             pl.BlockSpec((ndiag, BN), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((qt, BN), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((qt, Np), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((qt, Np), Xt.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * Np * qt,
-            bytes_accessed=(ndiag * Np + 2 * Np * qt) * X.dtype.itemsize,
+            bytes_accessed=(ndiag * Np + 2 * Np * qt) * Xt.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(Xt, Wp)
-    return Yt[:q, :N].T
+    )(Xp, Wp)
+    return Yt[:q, :N]
 
 
 def _dia_mm_halo(data, offsets, X, mesh):

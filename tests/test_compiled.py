@@ -221,3 +221,79 @@ def test_graft_entry():
     jax.block_until_ready(res[1])
 
     ge.dryrun_multichip(8)
+
+
+def test_ros2_compiled_matches_host_driver():
+    """Compiled two-stage Ros2 sweep vs the host driver (lowrank_ros2.jl
+    semantics) on DIA operators."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as sspla
+
+    from differentialriccatiequations_jl_tpu import GDREProblem, Ros2
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        _ROS2_GAMMA,
+        solve_gdre_ros2_compiled,
+    )
+    from differentialriccatiequations_jl_tpu.models.shifts import (
+        heuristic_shifts_host,
+    )
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+    n, tau = 128, 20.0
+    E, A, B, C = rail_surrogate(n)
+    E_op, A_op = dia_pencil(E, A)
+    q = C.shape[0]
+    L0 = sspla.splu(E.tocsc()).solve(np.asarray(C).T.copy())
+    X0 = lr_with_capacity(lowrank(jnp.asarray(L0), 0.01 * jnp.eye(q)), 96)
+    prob = GDREProblem(E_op, A_op, jnp.asarray(B), jnp.asarray(C), X0,
+                       (4500.0, 4440.0))
+
+    adi = ADI(shifts=Cyclic(Heuristic(10, 10, 10)), maxiters=80)
+    ref = solve(prob, Ros2(inner_alg=adi), dt=-tau)
+
+    # compiled path: shifts for the stage pencil (E, γτA − E/2)
+    sv = heuristic_shifts_host(
+        E, sp.csr_matrix((_ROS2_GAMMA * tau) * A - 0.5 * E), 10, 10, 10)
+    shifts = jnp.asarray([s.real for s in sv])
+    cfg = CompiledConfig(maxiters=80, compression_interval=10, r_res=48)
+    sol = solve_gdre_ros2_compiled(prob, dt=-tau, shifts=shifts, cfg=cfg,
+                                   capacity=96, abstol=1e-12)
+    assert len(sol.K) == len(ref.K)
+    for Kc, Kr in zip(sol.K[1:], ref.K[1:]):
+        d = np.linalg.norm(np.asarray(Kc) - np.asarray(Kr))
+        assert d / np.linalg.norm(np.asarray(Kr)) < 1e-8
+
+
+def test_newton_compiled_gare():
+    """Host-Newton over the compiled ADI with once-factored shifted cores
+    (newton.jl:36-143; benchmark config analog).  Quadratic convergence to
+    the reference's 1e-10 regime."""
+    from differentialriccatiequations_jl_tpu import GAREProblem
+    from differentialriccatiequations_jl_tpu.lowrank import lr_norm
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        solve_gare_newton_compiled,
+    )
+    from differentialriccatiequations_jl_tpu.models.shifts import (
+        heuristic_shifts_host,
+    )
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+    n = 128
+    E, A, B, C = rail_surrogate(n)
+    E_op, A_op = dia_pencil(E, A)
+    gprob = GAREProblem(E_op, A_op, lowrank(jnp.asarray(B)),
+                        lowrank(jnp.asarray(C.T)))
+    sv = heuristic_shifts_host(E, A, 10, 12, 12)
+    shifts = jnp.asarray([s.real for s in sv])
+    X, info = solve_gare_newton_compiled(
+        gprob, shifts=shifts, cfg=CompiledConfig(maxiters=120, r_res=32),
+        capacity=128, reltol=1e-11)
+    from differentialriccatiequations_jl_tpu.models import residual as _res
+
+    rel = float(lr_norm(_res(gprob, X))) / float(lr_norm(gprob.Q))
+    assert rel < 1e-10
+    # quadratic tail: last residual drop is superlinear
+    h = info["residuals"]
+    assert h[-1] < 1e-3 * h[-2]
