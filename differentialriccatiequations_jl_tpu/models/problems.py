@@ -198,12 +198,16 @@ def quadratic_forcing(_i, residual_norm: float) -> float:
 
 @dataclasses.dataclass(frozen=True)
 class Newton:
-    """(Inexact) Kleinman–Newton with line search (riccati/types.jl:95-106)."""
+    """(Inexact) Kleinman–Newton with line search (riccati/types.jl:95-106).
 
+    ``inner_alg`` is positional-first, matching the reference's
+    ``Newton(inner_alg; kwargs...)`` constructor (riccati/types.jl:56-57).
+    """
+
+    inner_alg: object = None  # default ADI()
     maxiters: int = 5
     reltol: Optional[float] = None
     abstol: Optional[float] = None
-    inner_alg: object = None  # default ADI()
     inexact: bool = True
     inexact_hybrid: bool = True
     inexact_forcing: object = quadratic_forcing

@@ -1,0 +1,97 @@
+"""Opt-in real-chip smoke test (VERDICT r1 item 6).
+
+The test suite runs on a forced-CPU virtual mesh (conftest.py); the single
+shared TPU chip is exercised only here, opt-in via ``DRE_TPU_TESTS=1``.  The
+chip process must be x32 (TPU has no native f64), so the solve runs in f32
+with mixed-precision iterative refinement (`Krylov(solve_dtype=...)` regime,
+the analog of the reference's ``uses_mixed_precision``, adi.jl:23-27) and is
+held to the **documented hardware tolerance** ``n·eps_f32·‖C‖`` — the same
+defensible-tolerance rule the benchmarks use (bench.py).
+
+Runs in a subprocess: conftest.py already pinned this process to the CPU
+backend, and the hosted-TPU plugin only honors platform selection before
+backend init.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_SCRIPT = r"""
+import json, os, sys
+import jax, jax.numpy as jnp
+import numpy as np
+import scipy.sparse.linalg as spla
+
+from differentialriccatiequations_jl_tpu.lowrank import (
+    lowrank, lr_norm, lr_with_capacity, lr_zero)
+from differentialriccatiequations_jl_tpu.models.compiled import (
+    CompiledConfig, adi_compiled, build_dia_shift_ops, _masked_cols)
+from differentialriccatiequations_jl_tpu.models.residuals import (
+    residual_gale_lowrank)
+from differentialriccatiequations_jl_tpu.models.shifts import (
+    heuristic_shifts_host)
+from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+backend = jax.default_backend()
+n = 371
+E, A, B, C = rail_surrogate(n)
+dt = jnp.float32
+E_op, A_op = dia_pencil(E, A, dtype=np.float32)
+sv = heuristic_shifts_host(E, A, 12, 20, 20)
+shifts = jnp.asarray(np.asarray([s.real for s in sv], np.float32))
+lus = build_dia_shift_ops(E_op, A_op, shifts)
+
+Cfac = lowrank(jnp.asarray(np.asarray(C).T, dt))
+X0 = lr_zero(n, 96, dt)
+cfg = CompiledConfig(maxiters=100, compression_interval=10, r_res=32)
+res0 = residual_gale_lowrank(E_op, A_op, Cfac, X0, r_out=cfg.r_res)
+norm_c = float(lr_norm(Cfac))
+abstol = n * float(jnp.finfo(dt).eps) * norm_c
+
+W0 = _masked_cols(res0.L, res0.k)
+X, W, iters, res = adi_compiled(E_op, A_op, W0, res0.D, res0.k, X0, shifts,
+                                jnp.asarray(abstol, dt), cfg, lus)
+jax.block_until_ready(X.L)
+# true residual recomputed from scratch at the returned iterate
+true_res = float(lr_norm(residual_gale_lowrank(E_op, A_op, Cfac, X,
+                                               r_out=2 * cfg.r_res)))
+print(json.dumps({
+    "backend": backend,
+    "n": n,
+    "adi_iters": int(iters),
+    "rel_res_tracked": float(res) / norm_c,
+    "rel_res_true": true_res / norm_c,
+    "rel_tol": abstol / norm_c,
+}))
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("DRE_TPU_TESTS") != "1",
+    reason="opt-in: set DRE_TPU_TESTS=1 to run on the real TPU chip",
+)
+def test_compiled_gale_on_chip():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_ENABLE_X64")}
+    env["DRE_X64"] = "0"
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, f"chip run failed:\n{out.stderr[-4000:]}"
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["backend"] in ("tpu", "axon"), payload
+    # documented f32-on-hardware tolerance: n·eps_f32 relative residual
+    assert payload["rel_res_true"] <= payload["rel_tol"], payload
+    # the tracked (incrementally-updated) residual must agree with the truth
+    assert payload["rel_res_tracked"] <= 5 * payload["rel_tol"], payload
