@@ -160,10 +160,12 @@ def solve_gale_gmres(prob: GALEProblem, alg: GMRES, *, initial_guess=None,
 
     if residual_norm > abstol:
         notify(observer, "gale_failed")
-        warnings.warn(
-            f"GMRES did not converge: residual={residual_norm:g} "
-            f"abstol={abstol:g} maxrestarts={maxrestarts} maxiters={maxiters}"
-        )
+        if alg.warn_convergence:
+            warnings.warn(
+                f"GMRES did not converge: residual={residual_norm:g} "
+                f"abstol={abstol:g} maxrestarts={maxrestarts} "
+                f"maxiters={maxiters}"
+            )
 
     iters = restarts * maxiters + m
     notify(observer, "gale_done", iters, X, None, residual_norm)

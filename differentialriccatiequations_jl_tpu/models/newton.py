@@ -33,7 +33,7 @@ from ..ops.operators import lr_update
 from ..utils.callbacks import notify
 from ..utils.timers import timeit
 from .adi import solve_gale_adi
-from .problems import ADI, GALEProblem, GAREProblem, Newton
+from .problems import ADI, GALEProblem, GAREProblem, GMRES, Newton
 from .residuals import residual_gare_lowrank
 
 
@@ -67,7 +67,11 @@ def solve_gare_newton(prob: GAREProblem, alg: Newton, *, observer=None) -> LowRa
     X = lr_zero(n, max(q + m, 16), dtype)
 
     inner_alg = alg.inner_alg
-    inner_reltol = inner_alg.reltol if isinstance(inner_alg, ADI) and inner_alg.reltol is not None else reltol / 10.0
+    inner_reltol = (
+        inner_alg.reltol
+        if isinstance(inner_alg, (ADI, GMRES)) and inner_alg.reltol is not None
+        else reltol / 10.0
+    )
 
     # The closed-loop coefficient is A − B K with constant A (newton.jl:103):
     # shifted-core factorizations are shared across all Newton steps.
@@ -156,10 +160,21 @@ def solve_gare_newton(prob: GAREProblem, alg: Newton, *, observer=None) -> LowRa
 
         X_prev = X
         with timeit("newton.gale_solve"):
-            X = lr_slice_active(solve_gale_adi(
-                lyap, inner_alg, abstol=inner_abstol, initial_guess=X_prev,
-                observer=observer, shift_cache=shift_cache,
-            ))
+            if isinstance(inner_alg, GMRES):
+                # Newton+FGMRES — the reference's second benchmark family
+                # (benchmark/benchmarks.jl:21-31,36-49).
+                from .gmres import solve_gale_gmres
+
+                X = lr_slice_active(solve_gale_gmres(
+                    lyap, inner_alg, abstol=inner_abstol,
+                    initial_guess=X_prev, observer=observer,
+                ))
+            else:
+                X = lr_slice_active(solve_gale_adi(
+                    lyap, inner_alg, abstol=inner_abstol,
+                    initial_guess=X_prev, observer=observer,
+                    shift_cache=shift_cache,
+                ))
 
     notify(observer, "gare_done", i, X, res, res_norm)
     return X

@@ -176,6 +176,10 @@ class GMRES:
     ignore_initial_guess: bool = False
     compression: bool = True
     preconditioner: Optional[object] = None
+    # Like ADI's flag (lyapunov/types.jl:29): silence the non-convergence
+    # warning when a capped GMRES runs inside an inexact Newton that
+    # intentionally under-solves (benchmark/benchmarks.jl:21-31).
+    warn_convergence: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

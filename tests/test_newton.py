@@ -68,6 +68,31 @@ def test_newton_superlinear_forcing_and_observer():
     assert any(d == "inexact" for d, _ in rec.meta)
 
 
+def test_newton_fgmres():
+    """Newton with an FGMRES(ADI-preconditioner) inner solver — the
+    reference's second benchmark family (benchmark/benchmarks.jl:21-31)."""
+    from differentialriccatiequations_jl_tpu import GMRES
+
+    t = 8
+    gmres = GMRES(
+        maxiters=5,
+        maxrestarts=0,
+        ignore_initial_guess=True,
+        # the inexact Newton intentionally under-solves inner GALEs
+        warn_convergence=False,
+        preconditioner=ADI(
+            maxiters=t,
+            shifts=Cyclic(Heuristic(t, t, t)),
+            compression_interval=2 * t,
+            warn_convergence=False,
+        ),
+    )
+    newton = Newton(gmres, maxiters=12, reltol=RELTOL)
+    X = solve(ARE, newton)
+    res = float(dre.lr_norm(residual(ARE, X)))
+    assert res < RELTOL * float(dre.lr_norm(Q))
+
+
 def test_newton_rejects_nonidentity_inner():
     Gbad = lowrank(np.asarray(B), 2.0 * np.eye(B.shape[1]))
     with pytest.raises(NotImplementedError):
