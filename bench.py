@@ -51,9 +51,14 @@ def bench_spmm(jax, jnp, np):
     t0 = time.time()
     E, A, B, C = rail_surrogate(N)
     dt = jnp.dtype(DTYPE)
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # The XLA lane-major path beats the hand-written Pallas kernel here
+    # (~18 vs ~13 Gnnz/s at q=32): XLA fuses the surrounding axpy into the
+    # same streaming loop, while a pallas_call is a fusion barrier that
+    # costs an extra HBM round trip per iteration.  Set DRE_USE_PALLAS=1
+    # to measure the kernel path instead.
+    use_pallas = os.environ.get("DRE_USE_PALLAS", "0") == "1"
     E_op, A_op = dia_pencil(E, A, dtype=np.dtype(DTYPE),
-                            use_pallas=on_tpu and dt != jnp.float64)
+                            use_pallas=use_pallas and dt != jnp.float64)
     # union-pattern nnz = csr-equivalent work per SpMM of the combined op
     nnz_csr = int(E_op.nnz)
     F = shifted_dia(E_op, A_op, jnp.asarray(-1.0, dt))
@@ -156,9 +161,7 @@ def bench_newton_gare(jax, jnp, np, extra, ng):
     (benchmarks.jl:32-49): Heuristic(20,30,30) shifts, G = lowrank(1000·B)."""
     from differentialriccatiequations_jl_tpu import GAREProblem, lowrank
     from differentialriccatiequations_jl_tpu.models.compiled import (
-        CompiledConfig, solve_gare_newton_compiled)
-    from differentialriccatiequations_jl_tpu.models.shifts import (
-        heuristic_shifts_host)
+        CompiledConfig, PerStepHeuristic, solve_gare_newton_compiled)
     from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
     from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
 
@@ -166,19 +169,22 @@ def bench_newton_gare(jax, jnp, np, extra, ng):
     Eg, Ag, Bg, Cg = rail_surrogate(ng)
     dt = jnp.dtype(DTYPE)
     E_op, A_op = dia_pencil(Eg, Ag, dtype=np.dtype(DTYPE))
-    sv = heuristic_shifts_host(Eg, Ag, 20, 30, 30)
-    shifts = jnp.asarray(np.asarray([s.real for s in sv], np.dtype(DTYPE)))
+    # Closed-loop Penzl shifts recomputed per Newton step (the fixed
+    # open-loop buffer stalls once the G=10⁶BBᵀ feedback moves the
+    # spectrum; cf. the reference re-initing shifts per inner solve,
+    # newton.jl:136-142) + automatic G/Q equilibration inside the solver.
+    shifts = PerStepHeuristic(20, 30, 30)
     gprob = GAREProblem(E_op, A_op,
                         lowrank(jnp.asarray(1000.0 * Bg, dt)),
                         lowrank(jnp.asarray(np.asarray(Cg).T, dt)))
     reltol = float(ng * jnp.finfo(dt).eps)
-    cfg = CompiledConfig(maxiters=200, compression_interval=10, r_res=32)
+    cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
     X, info = solve_gare_newton_compiled(gprob, shifts=shifts, cfg=cfg,
-                                         capacity=160, reltol=reltol)
+                                         capacity=96, reltol=reltol)
     jax.block_until_ready(X.L)
     t1 = time.time()
     X, info = solve_gare_newton_compiled(gprob, shifts=shifts, cfg=cfg,
-                                         capacity=160, reltol=reltol)
+                                         capacity=96, reltol=reltol)
     jax.block_until_ready(X.L)
     t2 = time.time()
     log(f"[bench] Newton+ADI GARE n={ng} reltol={reltol:.1e}: cold "

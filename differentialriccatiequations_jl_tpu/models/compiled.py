@@ -23,12 +23,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import register_pytree_dataclass
 from ..lowrank import LowRank, lr_add, lr_compress
+from ..ops.blocklinear import block_jacobi_inverses
 from ..ops.operators import LowRankUpdateOp, lin_comb, lr_update
 from ..ops.shifted import prepare_shifted, shifted_operator, default_inner_alg
 from .adi import _residual_norm
+from .shifts import heuristic_shifts_host
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,8 +80,7 @@ class SparseShiftOps:
     cols_t: jax.Array
     data_t: jax.Array
     diag_: jax.Array  # (ns, n)
-    prec_lu: jax.Array  # (ns, nb, bs, bs)
-    prec_piv: jax.Array  # (ns, nb, bs)
+    prec_inv: jax.Array  # (ns, nb, bs, bs) explicit block-Jacobi inverses
     n: int
     bs: int
     use_pallas: bool
@@ -91,8 +93,7 @@ class SparseShiftOps:
         op = BellOp(cols=self.cols, data=self.data[idx], cols_t=self.cols_t,
                     data_t=self.data_t[idx], diag_=self.diag_[idx],
                     n=self.n, bs=self.bs, use_pallas=self.use_pallas)
-        return KrylovSolver(op=op, prec=(self.prec_lu[idx], self.prec_piv[idx]),
-                            cfg=self.cfg)
+        return KrylovSolver(op=op, prec=self.prec_inv[idx], cfg=self.cfg)
 
 
 @register_pytree_dataclass(
@@ -115,8 +116,7 @@ class DiaShiftOps:
 
     data: jax.Array  # (ns, ndiag, N): the shifted operators, pre-transposed
     data_t: jax.Array  # (ns, ndiag, N)
-    prec_lu: jax.Array  # (ns, nb, bs, bs) in the solve dtype
-    prec_piv: jax.Array  # (ns, nb, bs)
+    prec_inv: jax.Array  # (ns, nb, bs, bs) block-Jacobi inverses, solve dtype
     offsets: tuple
     n: int
     nnz_: int
@@ -133,7 +133,7 @@ class DiaShiftOps:
                    offsets=self.offsets, n=self.n, nnz_=self.nnz_,
                    use_pallas=self.use_pallas, mesh=self.mesh)
         cfg = self.cfg
-        prec = (self.prec_lu[idx], self.prec_piv[idx])
+        prec = self.prec_inv[idx]
         if cfg.solve_dtype is not None:
             lo = jnp.dtype(cfg.solve_dtype)
             if jnp.iscomplexobj(jnp.zeros((), op.dtype)):
@@ -196,9 +196,9 @@ def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
         return op.diag_blocks(prec_bs)
 
     blk = jax.vmap(blocks)(data.astype(pdt))
-    lu, piv = jax.vmap(jax.vmap(jsl.lu_factor))(blk)
+    inv = jax.vmap(block_jacobi_inverses)(blk)
     return DiaShiftOps(
-        data=data, data_t=data_t, prec_lu=lu, prec_piv=piv,
+        data=data, data_t=data_t, prec_inv=inv,
         offsets=At.offsets, n=At.n, nnz_=At.nnz_, use_pallas=At.use_pallas,
         mesh=At.mesh, cfg=krylov_cfg,
     )
@@ -224,14 +224,13 @@ def build_sparse_shift_ops(E, A0, shifts, krylov_cfg=None) -> SparseShiftOps:
 
     def one(mu):
         F = shifted_bell(E, A0, mu)
-        blocks = F.diag_blocks()
-        lu, piv = jax.vmap(jsl.lu_factor)(blocks)
-        return F.cols, F.data, F.cols_t, F.data_t, F.diag_, lu, piv
+        inv = block_jacobi_inverses(F.diag_blocks())
+        return F.cols, F.data, F.cols_t, F.data_t, F.diag_, inv
 
-    cols, data, cols_t, data_t, diag, lus, pivs = jax.vmap(one)(shifts)
+    cols, data, cols_t, data_t, diag, invs = jax.vmap(one)(shifts)
     return SparseShiftOps(
         cols=cols[0], data=data, cols_t=cols_t[0], data_t=data_t,
-        diag_=diag, prec_lu=lus, prec_piv=pivs,
+        diag_=diag, prec_inv=invs,
         n=E.n, bs=E.bs, use_pallas=E.use_pallas, cfg=krylov_cfg,
     )
 
@@ -630,50 +629,112 @@ def _newton_step_compiled(E, A, B, Ct, X: LowRank, K, shifts, inner_abstol,
     return X_new, iters, res
 
 
+@dataclasses.dataclass(frozen=True)
+class PerStepHeuristic:
+    """Recompute Penzl shifts on the **closed-loop** pencil ``(E, A − BKᵢ)``
+    before every Newton step — the compiled-path analog of the reference
+    re-initializing its shift strategy per inner GALE solve
+    (newton.jl:136-142 → Shifts.init; strategy config benchmarks.jl:15-19).
+    A fixed open-loop shift buffer stalls the ADI as soon as the feedback
+    moves the spectrum (strong-control regimes like ``G = 10⁶BBᵀ``)."""
+
+    nshifts: int = 16
+    kp: int = 20
+    km: int = 20
+
+
+def _shift_buffer(sv, dtype, nshifts: int):
+    """Fixed-length device shift buffer (shape-stable across Newton steps):
+    real if every shift is real, complex otherwise; padded cyclically."""
+    arr = np.asarray(sv, np.complex128)
+    if arr.size < nshifts:
+        reps = -(-nshifts // max(arr.size, 1))
+        arr = np.tile(arr, reps)
+    arr = arr[:nshifts]
+    rdt = jnp.zeros((), dtype).real.dtype
+    if np.allclose(arr.imag, 0.0):
+        return jnp.asarray(arr.real.astype(rdt))
+    cdt = jnp.result_type(rdt, jnp.complex64)
+    return jnp.asarray(arr.astype(cdt))
+
+
 def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
-                               capacity: int = 192, maxiters: int = 20,
+                               capacity: int = 192, maxiters: int = 30,
                                reltol: float = None, inexact: bool = True,
                                krylov_cfg=None, observer=None):
     """Kleinman–Newton for the GARE over the compiled ADI (newton.jl:36-143
     with quadratic Dembo forcing + hybrid switch-back; no line search — the
     compiled path targets the reference's benchmark configuration,
-    benchmark/benchmarks.jl:32-49).  The shifted cores ``Aᵀ + μEᵀ`` are
-    factored once; per Newton step only the rank-m feedback changes and is
-    absorbed by the SMW correction inside the compiled ADI.
+    benchmark/benchmarks.jl:32-49).
 
-    Returns (X, info dict with residual history and ADI iteration counts).
+    ``shifts``: a fixed (cyclically consumed) shift buffer, or a
+    `PerStepHeuristic` that recomputes closed-loop Penzl shifts (and the
+    shifted cores) before every Newton step.
+
+    **Equilibration.**  ``GARE(E, A, G, Q)`` is solved as
+    ``GARE(E, A, G/σ², σQ)`` with ``σ = (‖G‖/‖Q‖)^(1/3)`` and the solution
+    unscaled (``X = Y/σ``) — an exact transformation that leaves the
+    feedback ``K`` invariant while collapsing the dynamic range of the
+    iterates.  Without it, strong-control scalings (``G = 10⁶BBᵀ``,
+    benchmarks.jl:46) push the indefinite residual factor past f32's
+    compression threshold and the iteration silently stalls/NaNs.
+
+    Returns (X, info dict with residual history and ADI iteration counts;
+    residuals are reported in the *original* (unscaled) problem's units).
     """
     import numpy as np
 
-    from ..lowrank import lr_norm, lr_with_capacity, lr_zero
+    from ..lowrank import lr_norm, lr_scale, lr_zero
     from ..utils.callbacks import notify
     from .residuals import residual_gare_lowrank
 
     E, A, Q = prob.E, prob.A, prob.Q
-    B = prob.G.L[:, : int(prob.G.k)]
-    Ct = Q.L[:, : int(Q.k)]
     n = E.shape[0]
-    dtype = B.dtype
+    dtype = prob.G.L.dtype
     notify(observer, "gare_start", prob, None)
+
+    # --- scale equilibration (exact) ---------------------------------------
+    # GARE(E, A, G/σ, σQ) has solution Y = σX: multiply the original
+    # equation by σ and absorb σ² from the quadratic term into G/σ.
+    # σ = √(‖G‖/‖Q‖) balances ‖Ĝ‖ = ‖Q̂‖.
+    norm_G = float(lr_norm(prob.G))
+    norm_Q = float(lr_norm(Q))
+    sigma = float(np.sqrt(norm_G / norm_Q)) if norm_G > 0 and norm_Q > 0 \
+        else 1.0
+    if 0.25 < sigma < 4.0:
+        sigma = 1.0  # already balanced; skip the scaling round trip
+    sqrt_s = dtype.type(np.sqrt(sigma))
+    B = prob.G.L[:, : int(prob.G.k)] / sqrt_s
+    Ct = sqrt_s * Q.L[:, : int(Q.k)]
+    Qs = LowRank(L=sqrt_s * Q.L, D=Q.D, k=Q.k)
+    Gs = LowRank(L=prob.G.L / sqrt_s, D=prob.G.D, k=prob.G.k)
 
     if reltol is None:
         reltol = n * float(jnp.finfo(dtype).eps)
-    res_norm = float(lr_norm(Q))
-    abstol = reltol * res_norm
+    res_norm = sigma * float(lr_norm(Q))  # ‖σQ‖ = ‖Q̂‖
+    abstol = reltol * res_norm  # scaled units (≡ reltol·‖Q‖ original)
     inner_reltol = reltol / 10.0
 
-    shifts = jnp.asarray(shifts)
-    lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
+    per_step = isinstance(shifts, PerStepHeuristic)
+    if per_step:
+        strat = shifts
+        E_sp = E.to_scipy()
+        A_sp = A.to_scipy()
+        B_np = np.asarray(B, np.float64)
+        lus = None
+    else:
+        shifts = jnp.asarray(shifts)
+        lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
 
     X = lr_zero(n, capacity, dtype)
     history, adi_iters = [], []
     for i in range(maxiters + 1):
         L, D = X.L, X.D
         K = ((B.T @ L) @ D) @ E.tmm(L).T
-        res = residual_gare_lowrank(E, A, prob.G, Q, X, r_out=cfg.r_res)
+        res = residual_gare_lowrank(E, A, Gs, Qs, X, r_out=cfg.r_res)
         res_norm = float(lr_norm(res))
-        history.append(res_norm)
-        notify(observer, "gare_step", i, X, res, res_norm)
+        history.append(res_norm / sigma)  # original units
+        notify(observer, "gare_step", i, X, res, res_norm / sigma)
         if res_norm <= abstol:
             break
         if i == maxiters:
@@ -681,14 +742,31 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             import warnings
 
             warnings.warn(
-                f"compiled Newton did not converge: residual={res_norm:g} "
-                f"abstol={abstol:g} maxiters={maxiters}")
+                f"compiled Newton did not converge: residual="
+                f"{res_norm / sigma:g} abstol={abstol / sigma:g} "
+                f"maxiters={maxiters}")
             break
 
+        if per_step:
+            sv = heuristic_shifts_host(
+                E_sp, A_sp, strat.nshifts, strat.kp, strat.km,
+                B=B_np, K=np.asarray(K, np.float64))
+            shifts = _shift_buffer(sv, dtype, strat.nshifts)
+            lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
+
         if inexact:
-            # quadratic forcing η = min(0.1, 0.9·‖res‖) (newton.jl:149-155)
-            # with hybrid switch-back to the classical tolerance.
-            eta = min(0.1, 0.9 * res_norm)
+            # Scale-invariant forcing (Eisenstat–Walker choice 2,
+            # η = min(0.1, 0.9·(‖res_k‖/‖res_{k-1}‖)²)) with hybrid
+            # switch-back to the classical tolerance.  The reference's
+            # quadratic_forcing η = min(0.1, 0.9·‖res‖) (newton.jl:158-165)
+            # is not scale-invariant: under equilibration the absolute
+            # residual is O(σ‖Q‖) for many steps, pinning η at 0.1 and
+            # dragging out the pre-asymptotic phase.
+            if i == 0:
+                eta = 0.1
+            else:
+                ratio = res_norm / max(history[-2] * sigma, 1e-300)
+                eta = min(0.1, 0.9 * ratio * ratio)
             inner_abstol = max(eta * res_norm, inner_reltol * res_norm)
         else:
             inner_abstol = inner_reltol * res_norm
@@ -698,6 +776,9 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             cfg, lus)
         adi_iters.append(int(iters))
 
-    notify(observer, "gare_done", len(history) - 1, X, None, res_norm)
+    if sigma != 1.0:
+        X = lr_scale(1.0 / sigma, X)
+    notify(observer, "gare_done", len(history) - 1, X, None,
+           res_norm / sigma)
     return X, {"residuals": history, "adi_iters": adi_iters,
-               "abstol": abstol}
+               "abstol": abstol / sigma, "sigma": sigma}

@@ -288,17 +288,29 @@ def _heuristic_shifts(strategy: Heuristic, E, A) -> list:
     return heuristic(R, strategy.nshifts)
 
 
-def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int):
+def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
+                          B=None, K=None):
     """Penzl heuristic shifts computed entirely on the host with SciPy
     sparse LU — setup-time helper for compiled/TPU sweeps where the
     device-orchestrated Arnoldi would cost one tunnel round trip per step.
-    Same algorithm as `Heuristic` (Penzl 1999 Alg 5.1)."""
+    Same algorithm as `Heuristic` (Penzl 1999 Alg 5.1).
+
+    With ``B``/``K`` given, the Ritz values are those of the **closed-loop**
+    pencil ``(E, A − BK)`` — the operator each Kleinman–Newton step's GALE
+    actually carries (the reference re-inits its shift strategy per inner
+    solve, newton.jl:136-142 → Shifts.init).  ``F⁻¹E`` products use the SMW
+    identity around the sparse LU of ``A`` (one extra m×m dense solve)."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
-    E = sp.csc_matrix(E_sparse)
-    A = sp.csc_matrix(A_sparse)
+    # f64 on the host regardless of the device dtype: shift quality gates
+    # ADI convergence and the host hop is setup-scale anyway.
+    E = sp.csc_matrix(E_sparse).astype(np.float64)
+    A = sp.csc_matrix(A_sparse).astype(np.float64)
     n = E.shape[0]
+    if K is not None:
+        B = np.asarray(B, np.float64)
+        K = np.asarray(K, np.float64)
 
     def arnoldi(matvec, k, desc):
         H = np.zeros((k + 1, k))
@@ -322,9 +334,26 @@ def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int):
         return stabilize_ritz_values(ritz, desc)
 
     luE = spla.splu(E)
-    Rp = arnoldi(lambda x: luE.solve(A @ x), kp, "E⁻¹A")
     luA = spla.splu(A)
-    Rm = arnoldi(lambda x: luA.solve(E @ x), km, "A⁻¹E")
+    if K is None:
+        fwd = lambda x: luE.solve(A @ x)
+        bwd = lambda x: luA.solve(E @ x)
+        descs = ("E⁻¹A", "A⁻¹E")
+    else:
+        # F = A − BK; F⁻¹ = A⁻¹ + A⁻¹B (I − K A⁻¹B)⁻¹ K A⁻¹  (SMW)
+        AinvB = luA.solve(B)
+        Sinv = np.linalg.inv(np.eye(B.shape[1]) - K @ AinvB)
+
+        def fwd(x):
+            return luE.solve(A @ x - B @ (K @ x))
+
+        def bwd(x):
+            y = luA.solve(E @ x)
+            return y + AinvB @ (Sinv @ (K @ y))
+
+        descs = ("E⁻¹F", "F⁻¹E")
+    Rp = arnoldi(fwd, kp, descs[0])
+    Rm = arnoldi(bwd, km, descs[1])
     R = np.concatenate([Rp, 1.0 / Rm])
     return heuristic(R, nshifts)
 

@@ -43,6 +43,12 @@ from ..config import register_pytree_dataclass
 # (production-kernel tests).  Read at trace time.
 _INTERPRET = False
 
+# Lane-block width of the Pallas kernel (tuning knob; halo overhead scales
+# as 2·Hp/BN, VMEM footprint as 2·qt·(BN+2Hp)).
+import os as _os
+
+_PALLAS_BN = int(_os.environ.get("DRE_DIA_BN", "2048"))
+
 
 @register_pytree_dataclass(
     meta_fields=("offsets", "n", "nnz_", "use_pallas", "mesh")
@@ -148,6 +154,20 @@ class DiaOp:
             mesh=self.mesh,
         )
 
+    def to_scipy(self):
+        """scipy.sparse CSR copy — host-side setup/shift helpers only.
+
+        scipy's DIA convention indexes diagonals by *column*
+        (``A[i, i+k] = data[k, i+k]``) while `DiaOp.data` indexes by row;
+        the pre-shifted transpose copy ``data_t`` is exactly the column
+        convention.
+        """
+        import scipy.sparse as sp
+
+        data = np.asarray(self.data_t)[:, : self.n]
+        return sp.dia_matrix((data, np.asarray(self.offsets, np.int64)),
+                             shape=(self.n, self.n)).tocsr()
+
     def to_dense(self) -> jax.Array:
         n = self.n
         M = jnp.zeros((n, n), self.dtype)
@@ -240,10 +260,14 @@ def _dia_mm_pallas_t(data, offsets, Xt):
     ``Y[:, i] = Σ_d w[d, i] · Xt[:, i + off_d]`` — the problem dimension
     rides the 128-wide lanes (shifts become lane-slices of an extended
     block), the RHS width rides the sublanes, and the diagonal weights
-    broadcast over sublanes.  Pure VPU work at streaming HBM bandwidth; one
-    grid step per lane-block with the halo read from HBM via the block
-    overlap in the index map being impossible, we DMA the extended block
-    manually.
+    broadcast over sublanes.  Pure VPU work at streaming HBM bandwidth.
+
+    The halo-extended operand blocks overlap (stride ``BN``, width
+    ``BN + 2·Hp``), which `BlockSpec` index maps cannot express, so the
+    operand is DMA'd manually — **double-buffered**: VMEM scratch persists
+    across (sequential) grid steps, step ``i`` waits on its own slot while
+    step ``i+1``'s copy is already in flight, overlapping the HBM read with
+    the compute.  The weight/output blocks ride Mosaic's automatic pipeline.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -256,7 +280,7 @@ def _dia_mm_pallas_t(data, offsets, Xt):
     # halo up to the lane width (the in-register shifted reads below may be
     # unaligned; the HBM→VMEM copy may not).
     Hp = -(-H // 128) * 128
-    BN = 2048
+    BN = _PALLAS_BN
     while BN < 2 * Hp:
         BN *= 2
     Np = -(-N // BN) * BN
@@ -268,28 +292,36 @@ def _dia_mm_pallas_t(data, offsets, Xt):
     Xp = jax.lax.dynamic_update_slice(Xp, Xt, (0, Hp))
     Wp = jnp.pad(data, ((0, 0), (0, Np - N)))
 
-    def kernel(xt_hbm, w_ref, y_ref):
+    def kernel(xt_hbm, w_ref, y_ref, xbuf, sems):
         i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-        def body(xbuf, sem):
-            cp = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(i * BN, BN + 2 * Hp)], xbuf, sem
+        def dma(s, blk):
+            return pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(blk * BN, BN + 2 * Hp)],
+                xbuf.at[s],
+                sems.at[s],
             )
-            cp.start()
-            cp.wait()
-            acc = jnp.zeros((qt, BN), y_ref.dtype)
-            for d, off in enumerate(offsets):
-                w = w_ref[d, :].reshape(1, BN)
-                acc = acc + w * jax.lax.slice_in_dim(
-                    xbuf[...], Hp + off, Hp + off + BN, axis=1
-                )
-            y_ref[...] = acc
 
-        pl.run_scoped(
-            body,
-            xbuf=pltpu.VMEM((qt, BN + 2 * Hp), Xt.dtype),
-            sem=pltpu.SemaphoreType.DMA,
-        )
+        @pl.when(i == 0)
+        def _():
+            dma(slot, i).start()
+
+        @pl.when(i + 1 < nprog)
+        def _():
+            dma(nxt, i + 1).start()
+
+        dma(slot, i).wait()
+        ext = xbuf[slot]
+        acc = jnp.zeros((qt, BN), y_ref.dtype)
+        for d, off in enumerate(offsets):
+            w = w_ref[d, :].reshape(1, BN)
+            acc = acc + w * jax.lax.slice_in_dim(
+                ext, Hp + off, Hp + off + BN, axis=1
+            )
+        y_ref[...] = acc
 
     Yt = pl.pallas_call(
         kernel,
@@ -300,6 +332,10 @@ def _dia_mm_pallas_t(data, offsets, Xt):
         ],
         out_specs=pl.BlockSpec((qt, BN), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((qt, Np), Xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, qt, BN + 2 * Hp), Xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * Np * qt,
             bytes_accessed=(ndiag * Np + 2 * Np * qt) * Xt.dtype.itemsize,

@@ -294,6 +294,39 @@ def test_newton_compiled_gare():
 
     rel = float(lr_norm(_res(gprob, X))) / float(lr_norm(gprob.Q))
     assert rel < 1e-10
-    # quadratic tail: last residual drop is superlinear
+    # superlinear tail (the final drop saturates at the eps floor, so the
+    # factor is asserted loosely)
     h = info["residuals"]
-    assert h[-1] < 1e-3 * h[-2]
+    assert h[-1] < 0.02 * h[-2]
+
+
+def test_newton_compiled_benchmark_config():
+    """The reference's benchmark configuration — ``G = lowrank(1000B)``
+    (benchmark/benchmarks.jl:46) — through the compiled Newton with
+    automatic G/Q equilibration and per-step closed-loop Penzl shifts.
+    Without both, the strong feedback stalls a fixed open-loop shift
+    buffer and the unscaled iterates overflow the residual compression."""
+    from differentialriccatiequations_jl_tpu import GAREProblem
+    from differentialriccatiequations_jl_tpu.lowrank import lr_norm
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        PerStepHeuristic,
+        solve_gare_newton_compiled,
+    )
+    from differentialriccatiequations_jl_tpu.models import residual as _res
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+    n = 128
+    E, A, B, C = rail_surrogate(n)
+    E_op, A_op = dia_pencil(E, A)
+    gprob = GAREProblem(E_op, A_op, lowrank(jnp.asarray(1000.0 * B)),
+                        lowrank(jnp.asarray(C.T)))
+    X, info = solve_gare_newton_compiled(
+        gprob, shifts=PerStepHeuristic(10, 12, 12),
+        cfg=CompiledConfig(maxiters=120, r_res=32),
+        capacity=128, reltol=1e-10)
+    assert info["sigma"] > 4.0  # equilibration engaged
+    rel = float(lr_norm(_res(gprob, X))) / float(lr_norm(gprob.Q))
+    assert rel < 1e-9
+    h = info["residuals"]
+    assert h[-1] <= info["abstol"], h  # converged, no warning path

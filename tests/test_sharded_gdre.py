@@ -113,7 +113,7 @@ def test_dia_adi_compiled_refined_f32_core():
                   preconditioner="block_jacobi", negate=True,
                   solve_dtype="float32", refine_iters=3)
     sops = build_dia_shift_ops(E_op, A_op, shifts, kcfg)
-    assert sops.prec_lu.dtype == jnp.float32
+    assert sops.prec_inv.dtype == jnp.float32
 
     prob = GALEProblem(E_op, A_op, Cf)
     abstol = 1e-11 * float(dre.lr_norm(Cf))
