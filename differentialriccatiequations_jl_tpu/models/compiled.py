@@ -643,6 +643,19 @@ class PerStepHeuristic:
     km: int = 20
 
 
+@dataclasses.dataclass(frozen=True)
+class CappedADI:
+    """Spec for the compiled-ADI FGMRES preconditioner (pass as the
+    ``preconditioner`` of the ``inner_gmres`` config of
+    `solve_gare_newton_compiled`).  Mirrors the reference's
+    ``ADI(maxiters=t, compression_interval=2t)`` preconditioner
+    (benchmark/benchmarks.jl:21-31)."""
+
+    maxiters: int = 15
+    r_in: int = 64
+    capacity: int = 256
+
+
 def _shift_buffer(sv, dtype, nshifts: int):
     """Fixed-length device shift buffer (shape-stable across Newton steps):
     real if every shift is real, complex otherwise; padded cyclically."""
@@ -658,10 +671,43 @@ def _shift_buffer(sv, dtype, nshifts: int):
     return jnp.asarray(arr.astype(cdt))
 
 
+def make_compiled_adi_preconditioner(E, F, lus, shifts, *, maxiters: int,
+                                     r_in: int = 64, capacity: int = 256,
+                                     compression_interval: int = 1000):
+    """A capped-ADI GALE preconditioner as ONE compiled dispatch per
+    application — the TPU-native form of the reference's FGMRES
+    preconditioner (ADI(maxiters=t, compression_interval=2t),
+    benchmark/benchmarks.jl:21-31; applied per Krylov vector,
+    gmres.jl:48-52).  ``abstol = 0`` runs exactly ``maxiters`` iterations.
+
+    Returns a callable ``precond(GALEProblem) -> LowRank`` for
+    `solve_gale_gmres`.  Incoming Krylov vectors are normalized to a fixed
+    ``r_in`` storage width so the jit cache stays warm as basis ranks grow.
+    """
+    from ..lowrank import lr_with_capacity, lr_zero
+
+    n = E.shape[0]
+    pcfg = CompiledConfig(maxiters=maxiters,
+                          compression_interval=compression_interval,
+                          r_res=r_in)
+    rdt = jnp.zeros((), F.dtype).real.dtype
+
+    def precond(p):
+        C = lr_with_capacity(p.C, r_in)
+        W0 = _masked_cols(C.L, C.k)
+        X0 = lr_zero(n, capacity, F.dtype)
+        X, _, _, _ = adi_compiled(E, F, W0, C.D, C.k, X0, shifts,
+                                  jnp.asarray(0.0, rdt), pcfg, lus)
+        return X
+
+    return precond
+
+
 def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
                                capacity: int = 192, maxiters: int = 30,
                                reltol: float = None, inexact: bool = True,
-                               krylov_cfg=None, observer=None):
+                               krylov_cfg=None, observer=None,
+                               inner_gmres=None):
     """Kleinman–Newton for the GARE over the compiled ADI (newton.jl:36-143
     with quadratic Dembo forcing + hybrid switch-back; no line search — the
     compiled path targets the reference's benchmark configuration,
@@ -771,10 +817,38 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         else:
             inner_abstol = inner_reltol * res_norm
 
-        X, iters, _ = _newton_step_compiled(
-            E, A, B, Ct, X, K, shifts, jnp.asarray(inner_abstol, dtype),
-            cfg, lus)
-        adi_iters.append(int(iters))
+        if inner_gmres is not None:
+            # Newton+FGMRES (the reference's second benchmark family,
+            # benchmarks.jl:21-31): matrix-valued FGMRES on the closed-loop
+            # GALE with a capped compiled-ADI preconditioner (one dispatch
+            # per Krylov vector).
+            from ..lowrank import lr_slice_active, lr_with_capacity
+            from .gmres import solve_gale_gmres
+            from .problems import GALEProblem
+
+            F = lr_update(A, jnp.asarray(-1.0, dtype), B, K)
+            EtL = E.tmm(X.L)
+            BtLD = (B.T @ X.L) @ X.D
+            qm = Ct.shape[1] + B.shape[1]
+            RHS = LowRank(
+                L=jnp.concatenate([Ct, EtL @ BtLD.T], axis=1),
+                D=jnp.eye(qm, dtype=dtype), k=jnp.int32(qm))
+            spec = inner_gmres.preconditioner
+            pre = make_compiled_adi_preconditioner(
+                E, F, lus, shifts, maxiters=spec.maxiters,
+                r_in=spec.r_in, capacity=spec.capacity)
+            galg = dataclasses.replace(inner_gmres, preconditioner=pre)
+            X = lr_slice_active(solve_gale_gmres(
+                GALEProblem(E, F, RHS), galg, abstol=inner_abstol,
+                initial_guess=X, observer=observer))
+            X = lr_compress(lr_with_capacity(X, max(X.r, capacity)),
+                            r_out=capacity)
+            adi_iters.append(-1)  # FGMRES path: iteration count in observer
+        else:
+            X, iters, _ = _newton_step_compiled(
+                E, A, B, Ct, X, K, shifts, jnp.asarray(inner_abstol, dtype),
+                cfg, lus)
+            adi_iters.append(int(iters))
 
     if sigma != 1.0:
         X = lr_scale(1.0 / sigma, X)

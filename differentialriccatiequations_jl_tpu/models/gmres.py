@@ -109,6 +109,11 @@ def solve_gale_gmres(prob: GALEProblem, alg: GMRES, *, initial_guess=None,
         for j in range(maxiters):
             if precond is None:
                 Z[j] = V[j]
+            elif callable(precond):
+                # Prepared preconditioner closure (e.g. one compiled-ADI
+                # dispatch over cached shifted cores, models/compiled.py).
+                with timeit("gmres.preconditioner"):
+                    Z[j] = precond(GALEProblem(E, A, V[j]))
             else:
                 with timeit("gmres.preconditioner"):
                     Z[j] = solve_gale_adi(GALEProblem(E, A, V[j]), precond,

@@ -330,3 +330,37 @@ def test_newton_compiled_benchmark_config():
     assert rel < 1e-9
     h = info["residuals"]
     assert h[-1] <= info["abstol"], h  # converged, no warning path
+
+
+def test_newton_fgmres_compiled_preconditioner():
+    """Newton+FGMRES with the capped compiled-ADI preconditioner (one
+    dispatch per Krylov vector) — the reference's second benchmark family
+    (benchmarks.jl:21-31) on the compiled path.  FGMRES inner accuracy
+    floors near the Krylov-vector truncation, so the tolerance matches the
+    reference's GMRES class (1e-8), not the ADI path's 1e-10."""
+    from differentialriccatiequations_jl_tpu import GAREProblem, GMRES
+    from differentialriccatiequations_jl_tpu.lowrank import lr_norm
+    from differentialriccatiequations_jl_tpu.models import residual as _res
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        CappedADI,
+        PerStepHeuristic,
+        solve_gare_newton_compiled,
+    )
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+    n = 128
+    E, A, B, C = rail_surrogate(n)
+    E_op, A_op = dia_pencil(E, A)
+    gprob = GAREProblem(E_op, A_op, lowrank(jnp.asarray(1000.0 * B)),
+                        lowrank(jnp.asarray(C.T)))
+    gmres = GMRES(maxiters=5, maxrestarts=0, ignore_initial_guess=True,
+                  warn_convergence=False,
+                  preconditioner=CappedADI(maxiters=10, r_in=48,
+                                           capacity=160))
+    X, info = solve_gare_newton_compiled(
+        gprob, shifts=PerStepHeuristic(10, 12, 12),
+        cfg=CompiledConfig(maxiters=60, r_res=32), capacity=128,
+        reltol=1e-8, inner_gmres=gmres)
+    rel = float(lr_norm(_res(gprob, X))) / float(lr_norm(gprob.Q))
+    assert rel < 1e-8
