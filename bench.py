@@ -169,33 +169,42 @@ def bench_newton_gare(jax, jnp, np, extra, ng):
     Eg, Ag, Bg, Cg = rail_surrogate(ng)
     dt = jnp.dtype(DTYPE)
     E_op, A_op = dia_pencil(Eg, Ag, dtype=np.dtype(DTYPE))
-    # Closed-loop Penzl shifts recomputed per Newton step (the fixed
+    # Closed-loop Penzl shifts recomputed when the feedback moves (the fixed
     # open-loop buffer stalls once the G=10⁶BBᵀ feedback moves the
     # spectrum; cf. the reference re-initing shifts per inner solve,
-    # newton.jl:136-142) + automatic G/Q equilibration inside the solver.
+    # newton.jl:136-142) + automatic G/Q equilibration + continuation in
+    # control strength inside the solver.
     shifts = PerStepHeuristic(20, 30, 30)
     gprob = GAREProblem(E_op, A_op,
                         lowrank(jnp.asarray(1000.0 * Bg, dt)),
                         lowrank(jnp.asarray(np.asarray(Cg).T, dt)))
     reltol = float(ng * jnp.finfo(dt).eps)
-    cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
-    X, info = solve_gare_newton_compiled(gprob, shifts=shifts, cfg=cfg,
-                                         capacity=96, reltol=reltol)
+    cfg = CompiledConfig(maxiters=100, compression_interval=10, r_res=48)
+    kw = dict(shifts=shifts, cfg=cfg, capacity=96, reltol=reltol)
+    X, info = solve_gare_newton_compiled(gprob, **kw)
     jax.block_until_ready(X.L)
     t1 = time.time()
-    X, info = solve_gare_newton_compiled(gprob, shifts=shifts, cfg=cfg,
-                                         capacity=96, reltol=reltol)
+    X, info = solve_gare_newton_compiled(gprob, **kw)
     jax.block_until_ready(X.L)
     t2 = time.time()
+    rel_res = info["residuals"][-1] / info["residuals"][0]
     log(f"[bench] Newton+ADI GARE n={ng} reltol={reltol:.1e}: cold "
-        f"{t1-t0:.1f}s, warm {t2-t1:.2f}s; newton_iters="
-        f"{len(info['residuals'])-1} adi_iters={info['adi_iters']} "
-        f"final_res={info['residuals'][-1]:.2e}")
+        f"{t1-t0:.1f}s, warm {t2-t1:.2f}s; converged={info['converged']} "
+        f"newton_steps={info['newton_steps']} "
+        f"shift_rebuilds={info['shift_rebuilds']} "
+        f"adi_iters={info['adi_iters']} final_rel_res={rel_res:.2e}")
+    # A timing of a non-converged run is not a benchmark result: record the
+    # failure and leave the wall-time fields out (VERDICT r2 weak #2).
+    if not info["converged"]:
+        extra[f"newton_gare_failed_n{ng}"] = True
+        extra[f"newton_gare_final_rel_res_n{ng}"] = rel_res
+        raise RuntimeError(
+            f"Newton GARE n={ng} did not converge (rel res {rel_res:.2e})")
     extra[f"newton_gare_wall_s_n{ng}"] = t2 - t1
-    extra[f"newton_gare_iters_n{ng}"] = len(info["residuals"]) - 1
+    extra[f"newton_gare_iters_n{ng}"] = info["newton_steps"]
     extra[f"newton_gare_adi_iters_n{ng}"] = sum(info["adi_iters"])
-    extra[f"newton_gare_final_rel_res_n{ng}"] = (
-        info["residuals"][-1] / info["residuals"][0])
+    extra[f"newton_gare_shift_rebuilds_n{ng}"] = info["shift_rebuilds"]
+    extra[f"newton_gare_final_rel_res_n{ng}"] = rel_res
 
 
 def main():

@@ -471,6 +471,7 @@ def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
 
     F_base = lin_comb(A, -1.0 / (2.0 * tau), E)
     shifts = jnp.asarray(shifts)
+    check_shift_pairing(shifts)
     lus = build_step_shift_solvers(E, F_base, shifts, krylov_cfg)
 
     if abstol is None:
@@ -575,6 +576,7 @@ def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
 
     F_core = lin_comb(scale_op(A, _ROS2_GAMMA * tau), -0.5, E)
     shifts = jnp.asarray(shifts)
+    check_shift_pairing(shifts)
     lus = build_step_shift_solvers(E, F_core, shifts, krylov_cfg)
 
     if abstol is None:
@@ -604,29 +606,28 @@ def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _newton_step_compiled(E, A, B, Ct, X: LowRank, K, shifts, inner_abstol,
-                          cfg: CompiledConfig, shift_lus):
+def _newton_step_compiled(E, A, B, X: LowRank, K, res: LowRank, shifts,
+                          inner_abstol, cfg: CompiledConfig, shift_lus):
     """One Kleinman–Newton step: closed-loop GALE warm-started at X
-    (newton.jl:101-142), fully jitted.  Returns (X_new, adi_iters, res)."""
-    from .residuals import residual_gale_lowrank
+    (newton.jl:101-142), fully jitted.
 
-    q = Ct.shape[1]
-    m = B.shape[1]
+    ``res`` is the **GARE residual factor at X** — mathematically identical
+    to the warm-start closed-loop GALE residual (plug ``X`` and
+    ``F = A − BK``, ``RHS = CᵀC + EᵀXBBᵀXE`` into the GALE residual and the
+    cross terms cancel to the GARE residual exactly), but numerically far
+    better in f32: re-assembling the GALE residual factor
+    ``[RHS  EᵀL  FᵀL]`` cancels huge ``±KᵀK``-class terms and was measured
+    to produce norms off by orders of magnitude (even exactly 0.0) under
+    the σ-equilibrated benchmark regime, freezing the inner ADI at zero
+    iterations.  Using the GARE factor keeps the ADI entry residual norm
+    consistent with the Newton convergence test by construction.
+
+    Returns (X_new, adi_iters, adi_exit_res)."""
     F = LowRankUpdateOp(A, jnp.asarray(-1.0, B.dtype), B, K)
-
-    L, D = X.L, X.D
-    EtL = E.tmm(L)
-    BtLD = (B.T @ L) @ D
-    EtXB = EtL @ BtLD.T
-    G = jnp.concatenate([Ct, EtXB], axis=1)
-    S = jnp.eye(q + m, dtype=B.dtype)
-    RHS = LowRank(L=G, D=S, k=jnp.int32(q + m))
-
-    res0 = residual_gale_lowrank(E, F, RHS, X, r_out=cfg.r_res)
-    W0 = _masked_cols(res0.L, res0.k)
-    X_new, _, iters, res = adi_compiled(E, F, W0, res0.D, res0.k, X, shifts,
-                                        inner_abstol, cfg, shift_lus)
-    return X_new, iters, res
+    W0 = _masked_cols(res.L, res.k)
+    X_new, _, iters, ares = adi_compiled(E, F, W0, res.D, res.k, X, shifts,
+                                         inner_abstol, cfg, shift_lus)
+    return X_new, iters, ares
 
 
 @dataclasses.dataclass(frozen=True)
@@ -658,17 +659,75 @@ class CappedADI:
 
 def _shift_buffer(sv, dtype, nshifts: int):
     """Fixed-length device shift buffer (shape-stable across Newton steps):
-    real if every shift is real, complex otherwise; padded cyclically."""
-    arr = np.asarray(sv, np.complex128)
-    if arr.size < nshifts:
-        reps = -(-nshifts // max(arr.size, 1))
-        arr = np.tile(arr, reps)
-    arr = arr[:nshifts]
+    real if every shift is real, complex otherwise; padded cyclically.
+
+    **Pair-preserving**: `adi_compiled`'s double step consumes a complex
+    shift and advances the cyclic pointer by 2, assuming the conjugate is
+    the next entry (the reference consumes pairs together, adi.jl:181-195).
+    The buffer is therefore assembled from whole *units* — real singletons
+    and adjacent conjugate pairs — so a truncation can never split a pair
+    and the cyclic wrap always lands on a unit boundary.  If the target
+    length would cut a pair and no real shift is available as filler, the
+    buffer grows by one slot instead (all-complex, odd ``nshifts``)."""
+    arr = np.asarray(sv, np.complex128).ravel()
     rdt = jnp.zeros((), dtype).real.dtype
+    if arr.size == 0:
+        raise ValueError("empty shift set")
     if np.allclose(arr.imag, 0.0):
-        return jnp.asarray(arr.real.astype(rdt))
+        if arr.size < nshifts:
+            arr = np.tile(arr, -(-nshifts // arr.size))
+        return jnp.asarray(arr[:nshifts].real.astype(rdt))
+
+    # Group into units: real singletons / conjugate pairs (made adjacent).
+    units, i = [], 0
+    tol = 1e-12
+    while i < arr.size:
+        v = arr[i]
+        if abs(v.imag) <= tol * max(abs(v.real), 1e-300):
+            units.append((complex(v.real),))
+            i += 1
+        elif i + 1 < arr.size and np.isclose(arr[i + 1], np.conj(v)):
+            units.append((complex(v), complex(np.conj(v))))
+            i += 2
+        else:
+            # Conjugate not adjacent (or missing): synthesize the pair so
+            # the double step's recombination stays exact.
+            units.append((complex(v), complex(np.conj(v))))
+            i += 1
+    real_units = [u for u in units if len(u) == 1]
+
+    out, ui = [], 0
+    while len(out) < nshifts:
+        u = units[ui % len(units)]
+        ui += 1
+        if len(out) + len(u) > nshifts:
+            u = real_units[0] if real_units else u  # grow by 1 if no filler
+        out.extend(u)
     cdt = jnp.result_type(rdt, jnp.complex64)
-    return jnp.asarray(arr.astype(cdt))
+    return jnp.asarray(np.asarray(out).astype(cdt))
+
+
+def check_shift_pairing(shifts) -> None:
+    """Validate that a cyclic shift buffer is unit-aligned: walking it the
+    way `adi_compiled` does (real → +1, complex → +2 with the conjugate
+    adjacent) must land exactly on the buffer end.  Catches split or
+    wrap-straddling conjugate pairs in host-constructed buffers (the host
+    ADI asserts the same invariant, adi.py; reference adi.jl:181-195)."""
+    arr = np.asarray(shifts)
+    if not np.iscomplexobj(arr):
+        return
+    i = 0
+    while i < arr.size:
+        v = arr[i]
+        if v.imag == 0.0:
+            i += 1
+            continue
+        if i + 1 >= arr.size or not np.isclose(arr[i + 1], np.conj(v)):
+            raise ValueError(
+                f"shift buffer splits a conjugate pair at index {i}: "
+                f"{v} is not followed by its conjugate (pairs must be "
+                "adjacent and fully contained; see _shift_buffer)")
+        i += 2
 
 
 def make_compiled_adi_preconditioner(E, F, lus, shifts, *, maxiters: int,
@@ -703,31 +762,68 @@ def make_compiled_adi_preconditioner(E, F, lus, shifts, *, maxiters: int,
     return precond
 
 
+@partial(jax.jit, static_argnames=("capacity",))
+def _linesearch_combine(X_prev: LowRank, X_tilde: LowRank, lam,
+                        capacity: int) -> LowRank:
+    """``(1−λ)·X_prev + λ·X̃`` compressed back to the iterate capacity
+    (newton.jl:60-63).  ``lam`` is traced so all backtracking trials share
+    one compilation."""
+    from ..lowrank import lr_add, lr_scale
+
+    lam = jnp.asarray(lam, X_prev.dtype)
+    X = lr_add(lr_scale(1.0 - lam, X_prev), lr_scale(lam, X_tilde),
+               r_out=X_prev.r + X_tilde.r)
+    return lr_compress(X, r_out=capacity)
+
+
 def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
-                               capacity: int = 192, maxiters: int = 30,
+                               capacity: int = 192, maxiters: int = 60,
                                reltol: float = None, inexact: bool = True,
                                krylov_cfg=None, observer=None,
-                               inner_gmres=None):
-    """Kleinman–Newton for the GARE over the compiled ADI (newton.jl:36-143
-    with quadratic Dembo forcing + hybrid switch-back; no line search — the
-    compiled path targets the reference's benchmark configuration,
-    benchmark/benchmarks.jl:32-49).
+                               inner_gmres=None, linesearch: bool = True,
+                               continuation_ratio: float = 32.0,
+                               stage_reltol: float = 1e-2,
+                               shift_reuse_tol: float = 0.1):
+    """Kleinman–Newton for the GARE over the compiled ADI (newton.jl:36-143)
+    with quadratic Dembo forcing + hybrid switch-back, Armijo line search
+    (newton.jl:49-90), a stall guard, and **continuation in the control
+    strength** for strong-control regimes.
 
     ``shifts``: a fixed (cyclically consumed) shift buffer, or a
     `PerStepHeuristic` that recomputes closed-loop Penzl shifts (and the
-    shifted cores) before every Newton step.
+    shifted cores) when the feedback has moved by more than
+    ``shift_reuse_tol`` in relative Frobenius norm.
 
     **Equilibration.**  ``GARE(E, A, G, Q)`` is solved as
-    ``GARE(E, A, G/σ², σQ)`` with ``σ = (‖G‖/‖Q‖)^(1/3)`` and the solution
+    ``GARE(E, A, G/σ, σQ)`` with ``σ = √(‖G‖/‖Q‖)`` and the solution
     unscaled (``X = Y/σ``) — an exact transformation that leaves the
-    feedback ``K`` invariant while collapsing the dynamic range of the
-    iterates.  Without it, strong-control scalings (``G = 10⁶BBᵀ``,
-    benchmarks.jl:46) push the indefinite residual factor past f32's
-    compression threshold and the iteration silently stalls/NaNs.
+    feedback ``K`` invariant while balancing ``‖Ĝ‖ = ‖Q̂‖``.  Without it,
+    strong-control scalings (``G = 10⁶BBᵀ``, benchmarks.jl:46) push the
+    indefinite residual factor past f32's compression threshold.
 
-    Returns (X, info dict with residual history and ADI iteration counts;
-    residuals are reported in the *original* (unscaled) problem's units).
+    **Continuation (homotopy in control strength).**  Kleinman–Newton from
+    ``X₀ = 0`` on strong-control problems has a huge first-step residual
+    hump (the first step is the *open-loop* Lyapunov solution, orders of
+    magnitude larger than ``X*``); an Armijo search along that segment only
+    accepts steps of λ ~ res₀/hump (≈4e-7 on the n=1357 benchmark), so
+    neither undamped nor damped Newton makes progress — and in f32 the
+    hump iterates additionally break the SMW feedback solves (‖K‖ ~ 10³⁺).
+    Instead, the solver detects the hump on the first (probe) step — which
+    is *θ-independent*, since ``K = 0`` kills every G-dependence of the
+    step — and solves the family ``GARE(E, A, θĜ, Q̂)``, i.e. ``B_θ = √θ·B̂``,
+    for ``θ: θ₀ → 1`` geometrically (factor ``continuation_ratio``), warm
+    starting each stage and solving intermediate stages only to
+    ``stage_reltol``.  All iterates then stay in the moderate-norm regime
+    where f32 residual evaluation has ~3 orders of headroom below the
+    n·eps_f32 tolerance.  Weak-control problems take the probe step,
+    see no hump, and run plain (damped, inexact) Newton — no extra cost.
+
+    Returns (X, info dict with residual history in the *original*
+    (unscaled) problem's units, ADI iteration counts, stage/θ log,
+    line-search λs, shift rebuild count, and ``converged``).
     """
+    import warnings
+
     import numpy as np
 
     from ..lowrank import lr_norm, lr_scale, lr_zero
@@ -757,8 +853,8 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
 
     if reltol is None:
         reltol = n * float(jnp.finfo(dtype).eps)
-    res_norm = sigma * float(lr_norm(Q))  # ‖σQ‖ = ‖Q̂‖
-    abstol = reltol * res_norm  # scaled units (≡ reltol·‖Q‖ original)
+    res0_norm = sigma * norm_Q  # ‖σQ‖ = ‖Q̂‖ = residual at X = 0
+    abstol = reltol * res0_norm  # scaled units (≡ reltol·‖Q‖ original)
     inner_reltol = reltol / 10.0
 
     per_step = isinstance(shifts, PerStepHeuristic)
@@ -766,39 +862,115 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         strat = shifts
         E_sp = E.to_scipy()
         A_sp = A.to_scipy()
-        B_np = np.asarray(B, np.float64)
         lus = None
+        shifts = None
     else:
         shifts = jnp.asarray(shifts)
+        check_shift_pairing(shifts)
         lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
 
-    X = lr_zero(n, capacity, dtype)
-    history, adi_iters = [], []
-    for i in range(maxiters + 1):
-        L, D = X.L, X.D
-        K = ((B.T @ L) @ D) @ E.tmm(L).T
-        res = residual_gare_lowrank(E, A, Gs, Qs, X, r_out=cfg.r_res)
-        res_norm = float(lr_norm(res))
-        history.append(res_norm / sigma)  # original units
-        notify(observer, "gare_step", i, X, res, res_norm / sigma)
-        if res_norm <= abstol:
-            break
-        if i == maxiters:
-            notify(observer, "gare_failed")
-            import warnings
+    def gare_res(X, theta):
+        """GARE residual factor for the θ-stage problem (G_θ = θ·Ĝ)."""
+        Gt = Gs if theta == 1.0 else LowRank(
+            L=Gs.L, D=jnp.asarray(theta, dtype) * Gs.D, k=Gs.k)
+        return residual_gare_lowrank(E, A, Gt, Qs, X, r_out=cfg.r_res)
 
+    X = lr_zero(n, capacity, dtype)
+    X_prev = None
+    theta = 1.0
+    probing = True       # hump detection armed until the first accepted step
+    just_staged = True   # suppress line search across stage boundaries
+    history, adi_iters, thetas, lams = [], [], [], []
+    shift_rebuilds = 0
+    K_at_shifts = None
+    stalls = 0
+    converged = False
+    newton_steps = 0
+    res_norm_prev = float("inf")
+    eta_cap = 0.1
+    while True:
+        Bt = B if theta == 1.0 else dtype.type(np.sqrt(theta)) * B
+        L, D = X.L, X.D
+        K = ((Bt.T @ L) @ D) @ E.tmm(L).T
+        res = gare_res(X, theta)
+        res_norm = float(lr_norm(res))
+
+        if (X_prev is not None and not just_staged
+                and res_norm > 0.9 * res_norm_prev):
+            if probing and res_norm > 10.0 * res_norm_prev:
+                # Hump on the probe step: enter continuation.  The probe
+                # step is θ-independent (K was 0), so X is also the first
+                # Newton iterate of the θ₀-stage problem; keep it.
+                theta = min(1.0, 0.3 * res_norm_prev / res_norm)
+                probing = False
+                just_staged = True
+                thetas.append(theta)
+                notify(observer, "gare_metadata", "continuation", theta)
+                continue
+            if linesearch:
+                # Armijo line search (newton.jl:49-90): backtrack along the
+                # segment to X_prev until sufficient decrease.
+                armijo, beta = 0.1, 0.5
+                lam = beta
+                X_tilde = X
+                while True:
+                    X_try = _linesearch_combine(X_prev, X_tilde, lam,
+                                                capacity)
+                    res_try = gare_res(X_try, theta)
+                    rn_try = float(lr_norm(res_try))
+                    if rn_try < (1.0 - lam * armijo) * res_norm_prev:
+                        X, res, res_norm = X_try, res_try, rn_try
+                        Lt, Dt = X.L, X.D
+                        K = ((Bt.T @ Lt) @ Dt) @ E.tmm(Lt).T
+                        break
+                    lam *= beta
+                    if lam < float(jnp.finfo(dtype).eps):
+                        warnings.warn(
+                            "Line search failed; using un-modified iterate")
+                        lam = 1.0
+                        break
+                lams.append(lam)
+                notify(observer, "gare_metadata", "line search", lam)
+        probing = probing and newton_steps == 0
+
+        history.append(res_norm / sigma)  # original units
+        notify(observer, "gare_step", newton_steps, X, res, res_norm / sigma)
+
+        stage_abstol = abstol if theta >= 1.0 else max(
+            abstol, stage_reltol * res0_norm)
+        if res_norm <= stage_abstol:
+            if theta >= 1.0:
+                converged = True
+                break
+            theta = min(1.0, theta * continuation_ratio)
+            thetas.append(theta)
+            just_staged = True
+            res_norm_prev = float("inf")
+            continue
+        if newton_steps >= maxiters:
+            notify(observer, "gare_failed")
             warnings.warn(
                 f"compiled Newton did not converge: residual="
                 f"{res_norm / sigma:g} abstol={abstol / sigma:g} "
                 f"maxiters={maxiters}")
             break
 
-        if per_step:
+        # Rebuild the closed-loop shifts only when the feedback has moved
+        # (amortizes the host Arnoldi + shifted-core factorizations across
+        # late Newton steps where K barely changes).
+        if per_step and (
+            K_at_shifts is None
+            or K_at_shifts.shape != K.shape
+            or float(jnp.linalg.norm(K - K_at_shifts))
+            > shift_reuse_tol * max(float(jnp.linalg.norm(K)), 1e-300)
+        ):
             sv = heuristic_shifts_host(
                 E_sp, A_sp, strat.nshifts, strat.kp, strat.km,
-                B=B_np, K=np.asarray(K, np.float64))
+                B=np.asarray(Bt, np.float64), K=np.asarray(K, np.float64))
             shifts = _shift_buffer(sv, dtype, strat.nshifts)
             lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
+            K_at_shifts = K
+            shift_rebuilds += 1
 
         if inexact:
             # Scale-invariant forcing (Eisenstat–Walker choice 2,
@@ -808,15 +980,17 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             # is not scale-invariant: under equilibration the absolute
             # residual is O(σ‖Q‖) for many steps, pinning η at 0.1 and
             # dragging out the pre-asymptotic phase.
-            if i == 0:
-                eta = 0.1
+            if res_norm_prev == float("inf"):
+                eta = eta_cap
             else:
-                ratio = res_norm / max(history[-2] * sigma, 1e-300)
-                eta = min(0.1, 0.9 * ratio * ratio)
+                ratio = res_norm / max(res_norm_prev, 1e-300)
+                eta = min(eta_cap, 0.9 * ratio * ratio)
             inner_abstol = max(eta * res_norm, inner_reltol * res_norm)
         else:
             inner_abstol = inner_reltol * res_norm
 
+        X_prev, res_norm_prev = X, res_norm
+        just_staged = False
         if inner_gmres is not None:
             # Newton+FGMRES (the reference's second benchmark family,
             # benchmarks.jl:21-31): matrix-valued FGMRES on the closed-loop
@@ -826,10 +1000,10 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             from .gmres import solve_gale_gmres
             from .problems import GALEProblem
 
-            F = lr_update(A, jnp.asarray(-1.0, dtype), B, K)
+            F = lr_update(A, jnp.asarray(-1.0, dtype), Bt, K)
             EtL = E.tmm(X.L)
-            BtLD = (B.T @ X.L) @ X.D
-            qm = Ct.shape[1] + B.shape[1]
+            BtLD = (Bt.T @ X.L) @ X.D
+            qm = Ct.shape[1] + Bt.shape[1]
             RHS = LowRank(
                 L=jnp.concatenate([Ct, EtL @ BtLD.T], axis=1),
                 D=jnp.eye(qm, dtype=dtype), k=jnp.int32(qm))
@@ -844,15 +1018,37 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             X = lr_compress(lr_with_capacity(X, max(X.r, capacity)),
                             r_out=capacity)
             adi_iters.append(-1)  # FGMRES path: iteration count in observer
+            newton_steps += 1
         else:
             X, iters, _ = _newton_step_compiled(
-                E, A, B, Ct, X, K, shifts, jnp.asarray(inner_abstol, dtype),
-                cfg, lus)
+                E, A, Bt, X, K, res, shifts,
+                jnp.asarray(inner_abstol, dtype), cfg, lus)
             adi_iters.append(int(iters))
+            newton_steps += 1
+            # Stall guard: the inner ADI accepted its entry residual (zero
+            # iterations).  Tighten the forcing once; a second consecutive
+            # stall aborts hard (the reference warns and stops on failure,
+            # newton.jl:92-99).
+            if int(iters) == 0:
+                stalls += 1
+                if stalls == 1:
+                    eta_cap = eta_cap / 10.0
+                else:
+                    notify(observer, "gare_failed")
+                    warnings.warn(
+                        "compiled Newton stalled: inner ADI made no "
+                        f"progress twice (residual={res_norm / sigma:g}, "
+                        f"abstol={abstol / sigma:g}); aborting")
+                    break
+            else:
+                stalls = 0
 
     if sigma != 1.0:
         X = lr_scale(1.0 / sigma, X)
     notify(observer, "gare_done", len(history) - 1, X, None,
            res_norm / sigma)
     return X, {"residuals": history, "adi_iters": adi_iters,
-               "abstol": abstol / sigma, "sigma": sigma}
+               "abstol": abstol / sigma, "sigma": sigma,
+               "converged": converged, "thetas": thetas,
+               "linesearch_lams": lams, "shift_rebuilds": shift_rebuilds,
+               "newton_steps": newton_steps}

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..utils.callbacks import notify
 from .lyapunov_dense import sign_function_cache, SignFunctionCache, _sign_iteration
-from .problems import DRESolution, GDREProblem, Ros1, Ros2, Ros3, Ros4
+from .problems import (BartelsStewart, DRESolution, GDREProblem, Ros1, Ros2,
+                       Ros3, Ros4)
 from .rosenbrock_lowrank import time_grid
 
 # Ros3 tableau constants (dense_ros3.jl:28-35).
@@ -155,6 +156,15 @@ _STEPPERS = {Ros1: _ros1_step, Ros2: _ros2_step, Ros3: _ros3_step, Ros4: _ros4_s
 
 def solve_gdre_dense(prob: GDREProblem, alg, *, dt: float,
                      save_state: bool = False, observer=None) -> DRESolution:
+    # The dense path solves its stage Lyapunov equations through the shared
+    # sign-function cache; a configured low-rank/iterative inner algorithm
+    # cannot be honored here, so reject it like the reference
+    # (dense_ros2.jl:10-11: `inner_alg isa BartelsStewart || error`).
+    inner = getattr(alg, "inner_alg", None)
+    if inner is not None and not isinstance(inner, BartelsStewart):
+        raise NotImplementedError(
+            f"dense Rosenbrock supports only BartelsStewart inner solves, "
+            f"got {inner!r} (dense_ros2.jl:10-11)")
     notify(observer, "gdre_start", prob, alg)
     Ed = prob.E.to_dense()
     Ad = prob.A.to_dense()

@@ -6,7 +6,7 @@ tolerates ``observer=None``.  Event names mirror the reference:
 
 GALE:  gale_start, gale_step, gale_done, gale_failed, gale_metadata
 GARE:  gare_start, gare_step, gare_done, gare_failed, gare_metadata
-GDRE:  gdre_start, gdre_step, gdre_done
+GDRE:  gdre_start, gdre_step, gdre_done, gdre_failed
 
 Payloads match Callbacks.jl: e.g. ``gale_step(iter, X, residual,
 residual_norm)`` (Callbacks.jl:97-187) and the ADI reports its shifts via
@@ -56,6 +56,9 @@ class Observer:
         pass
 
     def observe_gdre_done(self):
+        pass
+
+    def observe_gdre_failed(self):
         pass
 
 
