@@ -51,11 +51,16 @@ def bench_spmm(jax, jnp, np):
     t0 = time.time()
     E, A, B, C = rail_surrogate(N)
     dt = jnp.dtype(DTYPE)
-    # The XLA lane-major path beats the hand-written Pallas kernel here
-    # (~18 vs ~13 Gnnz/s at q=32): XLA fuses the surrounding axpy into the
-    # same streaming loop, while a pallas_call is a fusion barrier that
-    # costs an extra HBM round trip per iteration.  Set DRE_USE_PALLAS=1
-    # to measure the kernel path instead.
+    # Path decision (measured on the v5e chip, round 3): the XLA lane-major
+    # path wins at 12.1 vs 9.7 Gnnz/s even against the Pallas kernel WITH
+    # the axpby epilogue fused in (ops/dia.py mmT_axpby).  The kernel's
+    # remaining loss is the halo-padded operand copy it needs before every
+    # call (BlockSpec cannot express overlapping blocks, and fusing the pad
+    # away would need manual edge-case DMA both ways); XLA fuses
+    # pad+SpMM+axpby into one streaming loop at ~82% of the v5e HBM roof,
+    # which is the bandwidth lower bound for this product.  XLA is the
+    # default; DRE_USE_PALLAS=1 measures the kernel (kept as a documented
+    # experiment).
     use_pallas = os.environ.get("DRE_USE_PALLAS", "0") == "1"
     E_op, A_op = dia_pencil(E, A, dtype=np.dtype(DTYPE),
                             use_pallas=use_pallas and dt != jnp.float64)
@@ -81,7 +86,9 @@ def bench_spmm(jax, jnp, np):
     @partial(jax.jit, static_argnames=("iters",))
     def sweep(F, Xt, X0, iters):
         def body(i, Xt):
-            return scale * F.mmT(Xt) + 0.01 * X0
+            # Fused SpMM+axpby: identical HBM traffic on both paths (XLA
+            # fuses the expression; the Pallas kernel folds the epilogue).
+            return F.mmT_axpby(Xt, X0, scale, dt.type(0.01))
 
         return jax.lax.fori_loop(0, iters, body, Xt)
 
@@ -207,6 +214,128 @@ def bench_newton_gare(jax, jnp, np, extra, ng):
     extra[f"newton_gare_final_rel_res_n{ng}"] = rel_res
 
 
+def bench_newton_fgmres(jax, jnp, np, extra, ng):
+    """Newton+FGMRES(capped-ADI preconditioner) GARE — the reference's
+    second benchmark family (benchmarks.jl:21-31,36-49): GMRES(maxiters=5,
+    maxrestarts=0) with an ADI(15) preconditioner applied per Krylov
+    vector, one compiled dispatch per application."""
+    from differentialriccatiequations_jl_tpu import GAREProblem, GMRES, lowrank
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        CappedADI, CompiledConfig, PerStepHeuristic,
+        solve_gare_newton_compiled)
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+    t0 = time.time()
+    Eg, Ag, Bg, Cg = rail_surrogate(ng)
+    dt = jnp.dtype(DTYPE)
+    E_op, A_op = dia_pencil(Eg, Ag, dtype=np.dtype(DTYPE))
+    gprob = GAREProblem(E_op, A_op,
+                        lowrank(jnp.asarray(1000.0 * Bg, dt)),
+                        lowrank(jnp.asarray(np.asarray(Cg).T, dt)))
+    reltol = float(ng * jnp.finfo(dt).eps)
+    cfg = CompiledConfig(maxiters=100, compression_interval=10, r_res=48)
+    gmres = GMRES(maxiters=5, maxrestarts=0, ignore_initial_guess=True,
+                  warn_convergence=False,
+                  preconditioner=CappedADI(maxiters=15, r_in=64,
+                                           capacity=192))
+    kw = dict(shifts=PerStepHeuristic(20, 30, 30), cfg=cfg, capacity=96,
+              reltol=reltol, inner_gmres=gmres)
+    X, info = solve_gare_newton_compiled(gprob, **kw)
+    jax.block_until_ready(X.L)
+    t1 = time.time()
+    X, info = solve_gare_newton_compiled(gprob, **kw)
+    jax.block_until_ready(X.L)
+    t2 = time.time()
+    rel_res = info["residuals"][-1] / info["residuals"][0]
+    log(f"[bench] Newton+FGMRES GARE n={ng}: cold {t1-t0:.1f}s, warm "
+        f"{t2-t1:.2f}s; converged={info['converged']} "
+        f"newton_steps={info['newton_steps']} final_rel_res={rel_res:.2e}")
+    if not info["converged"]:
+        extra[f"newton_fgmres_failed_n{ng}"] = True
+        extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
+        raise RuntimeError(
+            f"Newton FGMRES n={ng} did not converge (rel res {rel_res:.2e})")
+    extra[f"newton_fgmres_wall_s_n{ng}"] = t2 - t1
+    extra[f"newton_fgmres_iters_n{ng}"] = info["newton_steps"]
+    extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
+
+
+def bench_accuracy_mixed(jax, jnp, np, extra):
+    """Reference-class accuracy ON CHIP via mixed precision (BASELINE.md
+    'match reference residual tolerances' row): f64 problem data (XLA:TPU
+    software-emulated f64), f32 Krylov cores + iterative refinement
+    (`RefinedKrylovSolver` through `build_dia_shift_ops`).  Records achieved
+    relative residuals for both solver families at n=1357."""
+    import dataclasses
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as sspla
+
+    from differentialriccatiequations_jl_tpu import (
+        GAREProblem, GDREProblem, lowrank)
+    from differentialriccatiequations_jl_tpu.lowrank import (
+        lr_norm, lr_with_capacity)
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        _ROS2_GAMMA, CompiledConfig, PerStepHeuristic, default_dia_krylov,
+        solve_gare_newton_compiled, solve_gdre_ros2_compiled)
+    from differentialriccatiequations_jl_tpu.models.shifts import (
+        heuristic_shifts_host)
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+    jax.config.update("jax_enable_x64", True)  # f64 emulated on TPU
+    ng, tau, nsteps = 1357, 10.0, 3
+    Eg, Ag, Bg, Cg = rail_surrogate(ng)
+    E_op, A_op = dia_pencil(Eg, Ag, dtype=np.float64)
+
+    # --- GDRE Ros2, 1e-10-class stage tolerance ------------------------------
+    t0 = time.time()
+    sv = heuristic_shifts_host(
+        Eg, sp.csr_matrix((_ROS2_GAMMA * tau) * Ag - 0.5 * Eg), 16, 20, 20)
+    shifts = jnp.asarray(np.asarray([s.real for s in sv], np.float64))
+    krylov = dataclasses.replace(
+        default_dia_krylov(jnp.float64, shifts.dtype),
+        solve_dtype="float32", refine_iters=3)
+    qg = Cg.shape[0]
+    L0 = sspla.splu(Eg.tocsc()).solve(np.asarray(Cg).T.copy())
+    X0 = lr_with_capacity(
+        lowrank(jnp.asarray(L0, jnp.float64),
+                0.01 * jnp.eye(qg, dtype=jnp.float64)), 128)
+    prob = GDREProblem(E_op, A_op, jnp.asarray(Bg, jnp.float64),
+                       jnp.asarray(np.asarray(Cg), jnp.float64), X0,
+                       (4500.0, 4500.0 - tau * nsteps))
+    norm_C = float(np.linalg.norm(np.asarray(Cg)))
+    abstol = 1e-10 * norm_C  # the reference's rail tolerance class
+    cfg = CompiledConfig(maxiters=100, compression_interval=10, r_res=64)
+    sol = solve_gdre_ros2_compiled(prob, dt=-tau, shifts=shifts, cfg=cfg,
+                                   capacity=128, abstol=abstol,
+                                   krylov_cfg=krylov)
+    jax.block_until_ready(sol.K[-1])
+    rel_gdre = sol.adi_res_max / norm_C
+    log(f"[bench] mixed-precision GDRE Ros2 n={ng} ({nsteps} steps): worst "
+        f"stage rel res {rel_gdre:.2e} (target 1e-10 class; "
+        f"{time.time()-t0:.1f}s incl. compile)")
+    extra["gdre_ros2_mixed_rel_res_n1357"] = rel_gdre
+
+    # --- Newton GARE, reltol 1e-10 -------------------------------------------
+    t0 = time.time()
+    gprob = GAREProblem(
+        E_op, A_op, lowrank(jnp.asarray(1000.0 * Bg, jnp.float64)),
+        lowrank(jnp.asarray(np.asarray(Cg).T, jnp.float64)))
+    X, info = solve_gare_newton_compiled(
+        gprob, shifts=PerStepHeuristic(20, 30, 30),
+        cfg=CompiledConfig(maxiters=150, compression_interval=10, r_res=64),
+        capacity=128, reltol=1e-10, inner_solve_dtype="float32")
+    jax.block_until_ready(X.L)
+    rel_newton = info["residuals"][-1] / info["residuals"][0]
+    log(f"[bench] mixed-precision Newton GARE n={ng}: converged="
+        f"{info['converged']} rel res {rel_newton:.2e} (target 1e-10; "
+        f"steps={info['newton_steps']}, {time.time()-t0:.1f}s incl. compile)")
+    extra["newton_gare_mixed_rel_res_n1357"] = rel_newton
+    extra["newton_gare_mixed_converged_n1357"] = bool(info["converged"])
+
+
 def main():
     t0 = time.time()
     import jax
@@ -231,6 +360,17 @@ def main():
                 bench_newton_gare(jax, jnp, np, extra, ng)
             except Exception as e:
                 log(f"[bench] Newton GARE n={ng} metric failed: {e!r}")
+    if os.environ.get("BENCH_GMRES", "1") != "0":
+        try:
+            bench_newton_fgmres(jax, jnp, np, extra, 1357)
+        except Exception as e:
+            log(f"[bench] Newton FGMRES metric failed: {e!r}")
+    if os.environ.get("BENCH_MIXED", "1") != "0":
+        # Last: flips jax_enable_x64 on for the accuracy section.
+        try:
+            bench_accuracy_mixed(jax, jnp, np, extra)
+        except Exception as e:
+            log(f"[bench] mixed-precision accuracy metric failed: {e!r}")
 
     print(json.dumps({
         "metric": "adi_shifted_spmm_csr_nnz_per_s_chip_rail79841_surrogate",

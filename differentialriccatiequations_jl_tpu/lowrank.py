@@ -266,6 +266,116 @@ def lr_rank(X: LowRank):
     return X.k
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _eigh_via_svd_psd_shift(Sx: jax.Array):
+    """Symmetric eigendecomposition through one SVD of a PSD shift.
+
+    XLA:TPU has no f64 `eigh` lowering (the compile fails with
+    UNIMPLEMENTED) but its f64 SVD compiles, so for real symmetric ``S``
+    use ``S + cI`` with ``c ≥ ‖S‖₂``: the shifted matrix is PSD, its SVD
+    *is* its eigendecomposition (U = eigenvectors up to column signs,
+    which an LDLᵀ rotation doesn't see), and ``λ = σ − c``.  **Accuracy
+    caveat**: the chip's f64 SVD itself is only ~1e-7 accurate (measured
+    on v5e: max eigenvalue error 1.2e-7 at r=128 — f32-class internals),
+    so this is a *seed* for `_eigh_refined_tpu`, not a drop-in `eigh`.
+    Returns ascending eigenvalues to match `eigh`'s convention.
+    """
+    r = Sx.shape[-1]
+    c = jnp.linalg.norm(Sx) + jnp.asarray(1.0, Sx.dtype)  # Fro ≥ spectral
+    U, sig, _ = jnp.linalg.svd(Sx + c * jnp.eye(r, dtype=Sx.dtype))
+    return (sig - c)[::-1], U[:, ::-1]
+
+
+def _cholqr_orthonormalize(V: jax.Array, passes: int = 2) -> jax.Array:
+    """CholeskyQR² re-orthonormalization (Gram + Cholesky + triangular
+    solve only — every piece has an accurate f64 XLA:TPU lowering).  For
+    near-orthonormal input one pass reaches O(eps) orthogonality; two
+    passes are the standard safety margin (Yamamoto et al. 2015)."""
+    import jax.scipy.linalg as jsl
+
+    eps = jnp.finfo(V.dtype).eps
+    for _ in range(passes):
+        G = V.T @ V
+        ridge = 10.0 * eps * jnp.maximum(jnp.max(jnp.diagonal(G)), 1.0)
+        C = jnp.linalg.cholesky(G + ridge * jnp.eye(G.shape[0], dtype=V.dtype))
+        V = jsl.solve_triangular(C, V.T, lower=True).T
+    return V
+
+
+def _cholqr_tall(L: jax.Array):
+    """Shifted CholeskyQR3 tall-skinny QR: ``L = Q R`` with ``Q`` (n, r)
+    orthonormal and ``R`` (r, r) upper triangular, from matmul + Cholesky
+    + triangular solves only.
+
+    XLA:TPU's Householder QR of a *tall* f64 operand is prohibitively slow
+    to compile (minutes at (1357, 96)); the shifted-CholeskyQR family
+    (Fukaya/Kannan/Nakatsukasa/Yamamoto/Yanagisawa 2020) reaches the same
+    O(eps) accuracy with three Gram/Cholesky rounds.  The first round's
+    shift keeps the Cholesky positive definite for ill-conditioned or
+    zero-padded ``L`` (padded LowRank columns are exactly zero); the
+    product ``Q R₃R₂R₁ = L`` holds to O(eps·‖L‖) regardless of the shift
+    because each ``Qᵢ = Qᵢ₋₁ Rᵢ⁻¹`` is an exact linear transform up to the
+    triangular-solve roundoff.
+    """
+    import jax.scipy.linalg as jsl
+
+    n, r = L.shape
+    eps = jnp.finfo(L.dtype).eps
+    Q, R = L, None
+    for i in range(3):
+        G = Q.T @ Q
+        scale = jnp.maximum(jnp.max(jnp.diagonal(G)), 1.0)
+        # Round 1 carries the full Fukaya-et-al. shift (cond(L) up to
+        # ~1/sqrt(eps)); later rounds only guard exact zero columns.
+        c = 11.0 * (n * r + r * (r + 1)) if i == 0 else 10.0
+        G = G + (c * eps * scale) * jnp.eye(r, dtype=L.dtype)
+        C = jnp.linalg.cholesky(G)
+        Q = jsl.solve_triangular(C, Q.T, lower=True).T
+        R = C.T if R is None else C.T @ R
+    return Q, R
+
+
+def _eigh_refined_tpu(S: jax.Array, seed_refines: int = 2):
+    """f64 symmetric eigendecomposition on TPU: SVD-shift seed + Jacobi-
+    style first-order refinement.
+
+    The chip's f64 SVD is only ~1e-7 accurate, so refine: with ``M =
+    VᵀSV`` near-diagonal, the first-order eigenvector correction is
+    ``V ← V(I + W)``, ``W_ij = M_ij/(M_jj − M_ii)`` (the classical
+    perturbation series), which squares the subspace error per pass —
+    1e-7 → ~1e-14 in one pass, a second pass for margin.  Near-degenerate
+    pairs (gap below sqrt(eps)·‖S‖) are clamped to W=0: within a cluster
+    the basis stays f32-accurate, which is harmless because the caller
+    keeps the *full* projected block ``VᵀSV`` as the inner factor (see
+    `lr_compress`), so clustering costs no reconstruction accuracy.
+    Returns ``(lam, V, M)`` with ``lam = diag(M)`` ascending-sorted
+    convention NOT applied — callers sort by magnitude themselves.
+    """
+    eps = jnp.finfo(S.dtype).eps
+    scale = jnp.max(jnp.abs(S))
+    safe_scale = jnp.where(scale > 0, scale, 1.0)
+    Sx = S / safe_scale  # scale-invariance: the SVD shift is absolute
+    _, V = _eigh_via_svd_psd_shift(Sx)
+    norm_S = jnp.linalg.norm(Sx) + eps
+    for _ in range(seed_refines):
+        M = V.T @ Sx @ V
+        d = jnp.diagonal(M)
+        gap = d[None, :] - d[:, None]
+        ok = jnp.abs(gap) > jnp.sqrt(eps) * norm_S
+        W = jnp.where(ok, M / jnp.where(ok, gap, 1.0), 0.0)
+        W = W - jnp.diag(jnp.diagonal(W))
+        V = _cholqr_orthonormalize(V + V @ W, passes=2)
+    M = V.T @ Sx @ V
+    M = 0.5 * (M + M.T) * safe_scale
+    return jnp.diagonal(M), V, M
+
+
 def _robust_eigh(S: jax.Array):
     """`eigh` hardened against entry magnitudes spanning ~30 orders.
 
@@ -309,9 +419,17 @@ def lr_compress(X: LowRank, r_out: int | None = None,
 
     n, r = X.L.shape
     finfo = jnp.finfo(X.L.dtype)
+    tpu_f64 = X.L.dtype == jnp.float64 and _on_tpu()
     if method is None:
         method = "gram" if X.L.dtype == jnp.float32 else "qr"
-    if method == "qr" and n >= r:
+    if method == "qr" and tpu_f64:
+        # XLA:TPU cannot lower tall f64 Householder QR (compile hangs) or
+        # f64 eigh (UNIMPLEMENTED): shifted CholeskyQR3 + refined
+        # SVD-seeded eigendecomposition instead — same O(eps) class.
+        m = r
+        Q, R = _cholqr_tall(X.L)
+        S = R @ X.D @ R.T
+    elif method == "qr" and n >= r:
         m = r
         Q, R = jnp.linalg.qr(X.L)  # Q: (n, r), R: (r, r)
         S = R @ X.D @ R.T
@@ -329,7 +447,11 @@ def lr_compress(X: LowRank, r_out: int | None = None,
         # Q = L R⁻¹ computed lazily below via a triangular solve.
         Q = None
     S = 0.5 * (S + S.T)
-    lam, V = _robust_eigh(S)  # ascending by value
+    if tpu_f64:
+        lam, V, M_full = _eigh_refined_tpu(S)
+    else:
+        lam, V = _robust_eigh(S)  # ascending by value
+        M_full = None
     order = jnp.argsort(-jnp.abs(lam))
     lam = lam[order]
     V = V[:, order]
@@ -345,7 +467,16 @@ def lr_compress(X: LowRank, r_out: int | None = None,
         L_new = X.L @ RinvV
     else:
         L_new = Q @ Vk  # (n, m)
-    D_new = jnp.diag(lam)
+    if M_full is not None:
+        # Keep the full projected block VᵀSV (near-diagonal): reconstruction
+        # is then immune to within-cluster eigenvector error, which the
+        # clamped refinement leaves at the SVD seed's ~1e-7 (see
+        # `_eigh_refined_tpu`).  Dropped rows/cols are exactly zero because
+        # Vk's dropped columns are.
+        D_new = (Vk.T @ S) @ Vk
+        D_new = 0.5 * (D_new + D_new.T)
+    else:
+        D_new = jnp.diag(lam)
     r_out = r_out if r_out is not None else r
     if m < r_out:
         L_new = jnp.pad(L_new, ((0, 0), (0, r_out - m)))

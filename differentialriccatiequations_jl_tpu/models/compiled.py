@@ -161,13 +161,39 @@ def default_dia_krylov(dtype, shifts_dtype) -> "object":
                   preconditioner="block_jacobi", negate=True)
 
 
+@jax.jit
+def _shifted_dia_data(At_data, At_data_t, Et_data, Et_data_t, shifts):
+    def one(mu):
+        return At_data + mu * Et_data, At_data_t + mu * Et_data_t
+
+    return jax.vmap(one)(shifts)
+
+
+@jax.jit
+def _shift_block_inverses(blkA, blkE, shifts):
+    """Per-shift block-Jacobi inverses of ``blk(A) + μ·blk(E)`` — the
+    rebuild-time hot path of `build_dia_shift_ops` (one batched add + one
+    batched inverse; the diagonal-block extraction itself happens once per
+    pencil, not once per shift set)."""
+
+    def one(mu):
+        return block_jacobi_inverses(blkA + mu * blkE)
+
+    return jax.vmap(one)(shifts)
+
+
 def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
-                        prec_bs: int = 128) -> DiaShiftOps:
+                        prec_bs: int = 128, block_cache: dict = None
+                        ) -> DiaShiftOps:
     """Assemble the per-shift shifted DIA operators ``A₀ᵀ + μₛEᵀ`` and their
     block-Jacobi LUs.  ``E``/``A0``: diagonal-set-sharing `DiaOp`s (see
-    `ops.dia.dia_pencil`)."""
-    import jax.scipy.linalg as jsl
+    `ops.dia.dia_pencil`).
 
+    ``block_cache``: optional dict reused across calls with the same pencil
+    (e.g. Newton shift rebuilds, compiled.py) — caches the pencil members'
+    diagonal blocks so a rebuild costs one batched add + one batched
+    inverse instead of re-extracting blocks per shift (measured 20s → <1s
+    of the warm n=5177 Newton wall time)."""
     from ..ops.dia import DiaOp
 
     shifts = jnp.asarray(shifts)
@@ -177,12 +203,9 @@ def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
     At, Et = A0.adjoint(), E.adjoint()
     cdt = jnp.result_type(At.dtype, shifts.dtype)
 
-    def one(mu):
-        data = At.data.astype(cdt) + mu * Et.data.astype(cdt)
-        data_t = At.data_t.astype(cdt) + mu * Et.data_t.astype(cdt)
-        return data, data_t
-
-    data, data_t = jax.vmap(one)(shifts)
+    data, data_t = _shifted_dia_data(
+        At.data.astype(cdt), At.data_t.astype(cdt),
+        Et.data.astype(cdt), Et.data_t.astype(cdt), shifts)
 
     pdt = cdt
     if krylov_cfg.solve_dtype is not None:
@@ -190,13 +213,19 @@ def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
         if jnp.iscomplexobj(jnp.zeros((), cdt)):
             pdt = jnp.result_type(pdt, jnp.complex64)
 
-    def blocks(d):
-        op = DiaOp(data=d, data_t=d, offsets=At.offsets, n=At.n,
-                   nnz_=At.nnz_)
-        return op.diag_blocks(prec_bs)
-
-    blk = jax.vmap(blocks)(data.astype(pdt))
-    inv = jax.vmap(block_jacobi_inverses)(blk)
+    key = ("pencil_blocks", prec_bs, str(pdt))
+    if block_cache is not None and key in block_cache:
+        blkA, blkE = block_cache[key]
+    else:
+        opA = DiaOp(data=At.data.astype(pdt), data_t=At.data.astype(pdt),
+                    offsets=At.offsets, n=At.n, nnz_=At.nnz_)
+        opE = DiaOp(data=Et.data.astype(pdt), data_t=Et.data.astype(pdt),
+                    offsets=Et.offsets, n=Et.n, nnz_=Et.nnz_)
+        blkA = opA.diag_blocks(prec_bs)
+        blkE = opE.diag_blocks(prec_bs, pad_identity=False)
+        if block_cache is not None:
+            block_cache[key] = (blkA, blkE)
+    inv = _shift_block_inverses(blkA, blkE, shifts.astype(pdt))
     return DiaShiftOps(
         data=data, data_t=data_t, prec_inv=inv,
         offsets=At.offsets, n=At.n, nnz_=At.nnz_, use_pallas=At.use_pallas,
@@ -430,10 +459,12 @@ def ros1_step_compiled(E, A, B, C, X: LowRank, tau, shifts, abstol,
     return X_new, K_new, iters, res
 
 
-def build_step_shift_solvers(E, F_base, shifts, krylov_cfg=None):
+def build_step_shift_solvers(E, F_base, shifts, krylov_cfg=None,
+                             block_cache: dict = None):
     """Route the batched shifted-core factorization by operator kind:
     dense → `ShiftLUs`, banded → `DiaShiftOps`, block-ELL →
-    `SparseShiftOps`."""
+    `SparseShiftOps`.  ``block_cache`` is forwarded to the DIA builder
+    (pencil diagonal blocks reused across shift rebuilds)."""
     from ..ops.dia import DiaOp
     from ..ops.operators import DenseOp
 
@@ -441,7 +472,8 @@ def build_step_shift_solvers(E, F_base, shifts, krylov_cfg=None):
     if isinstance(core, DenseOp):
         return build_shift_lus(E, core, shifts)
     if isinstance(core, DiaOp):
-        return build_dia_shift_ops(E, core, shifts, krylov_cfg)
+        return build_dia_shift_ops(E, core, shifts, krylov_cfg,
+                                   block_cache=block_cache)
     return build_sparse_shift_ops(E, core, shifts, krylov_cfg)
 
 
@@ -487,18 +519,24 @@ def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
     L0, D0 = X.L, X.D
     K = ((B.T @ L0) @ D0) @ E.tmm(L0).T
     Ks[0] = K
-    iters_total = 0
+    # Device-side accumulators: a host sync per step costs one tunnel
+    # round trip (~25 ms on hosted TPU) and breaks dispatch pipelining, so
+    # iteration counts and residuals are reduced on device and fetched once.
+    iters_total = jnp.int32(0)
+    res_max = jnp.zeros((), B.dtype)
     for i in range(1, len(tstops)):
         X, K, iters, res = ros1_step_compiled(E, A, B, C, X, tau_d, shifts,
                                               abstol, cfg, lus)
-        iters_total += int(iters)
+        iters_total = iters_total + iters
+        res_max = jnp.maximum(res_max, res)
         Ks.append(K)
         if save_state:
             Xs.append(X)
     if not save_state:
         Xs.append(X)
     sol = DRESolution(Xs, Ks, tstops)
-    sol.adi_iters = iters_total
+    sol.adi_iters = int(iters_total)
+    sol.adi_res_max = float(res_max)  # worst accepted GALE residual
     return sol
 
 
@@ -590,18 +628,22 @@ def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
     Xs = [X]
     L0, D0 = X.L, X.D
     Ks = [((B.T @ L0) @ D0) @ E.tmm(L0).T]
-    iters_total = 0
+    # Device-side accumulators (see the Ros1 driver): no per-step syncs.
+    iters_total = jnp.int32(0)
+    res_max = jnp.zeros((), B.dtype)
     for i in range(1, len(tstops)):
         X, K, iters, res = ros2_step_compiled(E, A, B, C, X, tau_d, shifts,
                                               abstol, cfg, lus)
-        iters_total += int(iters)
+        iters_total = iters_total + iters
+        res_max = jnp.maximum(res_max, res)
         Ks.append(K)
         if save_state:
             Xs.append(X)
     if not save_state:
         Xs.append(X)
     sol = DRESolution(Xs, Ks, tstops)
-    sol.adi_iters = iters_total
+    sol.adi_iters = int(iters_total)
+    sol.adi_res_max = float(res_max)  # worst accepted GALE residual
     return sol
 
 
@@ -657,7 +699,7 @@ class CappedADI:
     capacity: int = 256
 
 
-def _shift_buffer(sv, dtype, nshifts: int):
+def _shift_buffer(sv, dtype, nshifts: int, real_only: bool = False):
     """Fixed-length device shift buffer (shape-stable across Newton steps):
     real if every shift is real, complex otherwise; padded cyclically.
 
@@ -668,11 +710,18 @@ def _shift_buffer(sv, dtype, nshifts: int):
     and adjacent conjugate pairs — so a truncation can never split a pair
     and the cyclic wrap always lands on a unit boundary.  If the target
     length would cut a pair and no real shift is available as filler, the
-    buffer grows by one slot instead (all-complex, odd ``nshifts``)."""
+    buffer grows by one slot instead (all-complex, odd ``nshifts``).
+
+    ``real_only``: substitute each complex shift with the equal-modulus
+    real shift ``-|v|`` (still in the open left half-plane, so the ADI
+    stays convergent — only the rate is affected).  Used for the f64
+    mixed-precision path on TPU, where complex128 has no XLA lowering."""
     arr = np.asarray(sv, np.complex128).ravel()
     rdt = jnp.zeros((), dtype).real.dtype
     if arr.size == 0:
         raise ValueError("empty shift set")
+    if real_only:
+        arr = np.where(np.abs(arr.imag) > 0, -np.abs(arr), arr.real + 0j)
     if np.allclose(arr.imag, 0.0):
         if arr.size < nshifts:
             arr = np.tile(arr, -(-nshifts // arr.size))
@@ -781,9 +830,10 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
                                reltol: float = None, inexact: bool = True,
                                krylov_cfg=None, observer=None,
                                inner_gmres=None, linesearch: bool = True,
-                               continuation_ratio: float = 32.0,
-                               stage_reltol: float = 1e-2,
-                               shift_reuse_tol: float = 0.1):
+                               continuation_ratio: float = 1000.0,
+                               stage_reltol: float = 1e-1,
+                               shift_reuse_tol: float = 0.3,
+                               inner_solve_dtype: str = None):
     """Kleinman–Newton for the GARE over the compiled ADI (newton.jl:36-143)
     with quadratic Dembo forcing + hybrid switch-back, Armijo line search
     (newton.jl:49-90), a stall guard, and **continuation in the control
@@ -858,6 +908,23 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
     inner_reltol = reltol / 10.0
 
     per_step = isinstance(shifts, PerStepHeuristic)
+    block_cache = {}
+    # complex128 has no XLA:TPU lowering; on the f64 (mixed-precision)
+    # chip path substitute complex shift pairs with equal-modulus real
+    # shifts (ADI stays convergent, only the rate changes).
+    from ..ops.dia import _on_tpu
+    real_shifts_only = dtype == jnp.float64 and _on_tpu()
+
+    def _krylov_for(shift_buf):
+        # Mixed-precision route: default Krylov config for the shift buffer
+        # dtype with a low-precision core + iterative refinement
+        # (RefinedKrylovSolver) — how f32 MXU/VPU kernels serve the
+        # reference's 1e-10 f64 tolerances on chip.
+        if krylov_cfg is not None or inner_solve_dtype is None:
+            return krylov_cfg
+        return dataclasses.replace(
+            default_dia_krylov(E.dtype, shift_buf.dtype),
+            solve_dtype=inner_solve_dtype)
     if per_step:
         strat = shifts
         E_sp = E.to_scipy()
@@ -867,7 +934,8 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
     else:
         shifts = jnp.asarray(shifts)
         check_shift_pairing(shifts)
-        lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
+        lus = build_step_shift_solvers(E, A, shifts, _krylov_for(shifts),
+                                       block_cache=block_cache)
 
     def gare_res(X, theta):
         """GARE residual factor for the θ-stage problem (G_θ = θ·Ĝ)."""
@@ -967,8 +1035,10 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             sv = heuristic_shifts_host(
                 E_sp, A_sp, strat.nshifts, strat.kp, strat.km,
                 B=np.asarray(Bt, np.float64), K=np.asarray(K, np.float64))
-            shifts = _shift_buffer(sv, dtype, strat.nshifts)
-            lus = build_step_shift_solvers(E, A, shifts, krylov_cfg)
+            shifts = _shift_buffer(sv, dtype, strat.nshifts,
+                                   real_only=real_shifts_only)
+            lus = build_step_shift_solvers(E, A, shifts, _krylov_for(shifts),
+                                           block_cache=block_cache)
             K_at_shifts = K
             shift_rebuilds += 1
 

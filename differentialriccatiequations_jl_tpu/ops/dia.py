@@ -98,11 +98,14 @@ class DiaOp:
             return jnp.zeros((self.n,), self.dtype)
         return self.data[d0, : self.n]
 
-    def diag_blocks(self, bs: int = 128) -> jax.Array:
+    def diag_blocks(self, bs: int = 128, pad_identity: bool = True) -> jax.Array:
         """(nb, bs, bs) diagonal blocks (block-Jacobi preconditioner data).
 
         Couplings crossing a block boundary are dropped — standard
-        block-Jacobi truncation.
+        block-Jacobi truncation.  ``pad_identity=False`` omits the identity
+        in the padding rows (n..Np) so blocks of pencil members can be
+        linearly combined (``blk(A + μE) = blk_id(A) + μ·blk_raw(E)``)
+        without double-counting the regularization.
         """
         nb = -(-self.n // bs)
         Np = nb * bs
@@ -114,10 +117,11 @@ class DiaOp:
             w = w.reshape(nb, bs)
             r = np.arange(max(0, -off), bs - max(0, off))
             blocks = blocks.at[:, r, r + off].add(w[:, r])
-        # identity in the padding rows (n..Np) keeps the block LUs regular
-        pad = (jnp.arange(Np).reshape(nb, bs) >= self.n).astype(self.dtype)
-        r = np.arange(bs)
-        blocks = blocks.at[:, r, r].add(pad)
+        if pad_identity:
+            # identity in the padding rows (n..Np) keeps the block LUs regular
+            pad = (jnp.arange(Np).reshape(nb, bs) >= self.n).astype(self.dtype)
+            r = np.arange(bs)
+            blocks = blocks.at[:, r, r].add(pad)
         return blocks
 
     def mm(self, X: jax.Array) -> jax.Array:
@@ -143,6 +147,19 @@ class DiaOp:
         if self.use_pallas and _on_tpu() and self.data.dtype != jnp.float64:
             return _dia_mm_pallas_t(self.data, self.offsets, Xt)
         return _dia_mm_t_xla(self.data, self.offsets, Xt)
+
+    def mmT_axpby(self, Xt: jax.Array, Z: jax.Array, alpha, beta) -> jax.Array:
+        """Fused ``α·(A @ Xtᵀ)ᵀ + β·Z`` in lane-major layout.
+
+        On the Pallas path the epilogue is folded into the kernel (no extra
+        HBM round trip after the `pallas_call` fusion barrier); on the XLA
+        path the expression form lets XLA fuse it into the same streaming
+        loop it already builds for the SpMM."""
+        if (self.mesh is None and self.use_pallas and _on_tpu()
+                and self.data.dtype != jnp.float64):
+            return _dia_mm_pallas_t(self.data, self.offsets, Xt,
+                                    Z=Z, coeffs=(alpha, beta))
+        return alpha * self.mmT(Xt) + beta * Z
 
     def adjoint(self) -> "DiaOp":
         # Reverse so the (negated) offsets stay ascending.
@@ -254,7 +271,7 @@ def _dia_mm_pallas(data, offsets, X):
     return _dia_mm_pallas_t(data, offsets, X.T).T
 
 
-def _dia_mm_pallas_t(data, offsets, Xt):
+def _dia_mm_pallas_t(data, offsets, Xt, Z=None, coeffs=None):
     """Pallas DIA SpMM in lane-major layout, ``Xt: (q, N) → (q, N)``.
 
     ``Y[:, i] = Σ_d w[d, i] · Xt[:, i + off_d]`` — the problem dimension
@@ -262,12 +279,29 @@ def _dia_mm_pallas_t(data, offsets, Xt):
     block), the RHS width rides the sublanes, and the diagonal weights
     broadcast over sublanes.  Pure VPU work at streaming HBM bandwidth.
 
+    With ``Z``/``coeffs = (α, β)`` the axpby epilogue ``α·SpMM + β·Z`` is
+    fused into the kernel (the scalars ride SMEM), saving the extra HBM
+    round trip that a separate elementwise op would cost after the
+    `pallas_call` fusion barrier.
+
+    **Status: documented experiment, off by default.**  Measured on the v5e
+    chip (q=32, n=79841, round 3): 9.7 Gnnz/s fused vs 12.1 Gnnz/s for the
+    XLA lane-major path — the kernel still pays a halo-padded operand copy
+    before every call (overlapping blocks are inexpressible in `BlockSpec`,
+    so the operand must be re-materialized with aligned halos), while XLA
+    fuses pad+SpMM+axpby into a single streaming loop at ~82% of the HBM
+    roof.  Closing the gap would need manual edge-clamped DMA on both the
+    input and the output so the iteration state can stay halo-padded
+    persistently — parity at best for strictly more machinery, so the XLA
+    path is the production default (bench.py:54-64).
+
     The halo-extended operand blocks overlap (stride ``BN``, width
     ``BN + 2·Hp``), which `BlockSpec` index maps cannot express, so the
     operand is DMA'd manually — **double-buffered**: VMEM scratch persists
     across (sequential) grid steps, step ``i`` waits on its own slot while
     step ``i+1``'s copy is already in flight, overlapping the HBM read with
-    the compute.  The weight/output blocks ride Mosaic's automatic pipeline.
+    the compute.  The weight/output/epilogue blocks ride Mosaic's automatic
+    pipeline.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -285,6 +319,7 @@ def _dia_mm_pallas_t(data, offsets, Xt):
         BN *= 2
     Np = -(-N // BN) * BN
     nb = Np // BN
+    fused = Z is not None
 
     # Halo-padded operand: (qt, Np + 2Hp) so every extended block read is an
     # in-range static-width slice.
@@ -292,7 +327,11 @@ def _dia_mm_pallas_t(data, offsets, Xt):
     Xp = jax.lax.dynamic_update_slice(Xp, Xt, (0, Hp))
     Wp = jnp.pad(data, ((0, 0), (0, Np - N)))
 
-    def kernel(xt_hbm, w_ref, y_ref, xbuf, sems):
+    def kernel(*refs):
+        if fused:
+            ab_ref, xt_hbm, w_ref, z_ref, y_ref, xbuf, sems = refs
+        else:
+            xt_hbm, w_ref, y_ref, xbuf, sems = refs
         i = pl.program_id(0)
         nprog = pl.num_programs(0)
         slot = jax.lax.rem(i, jnp.int32(2))
@@ -321,15 +360,34 @@ def _dia_mm_pallas_t(data, offsets, Xt):
             acc = acc + w * jax.lax.slice_in_dim(
                 ext, Hp + off, Hp + off + BN, axis=1
             )
-        y_ref[...] = acc
+        if fused:
+            y_ref[...] = ab_ref[0] * acc + ab_ref[1] * z_ref[...]
+        else:
+            y_ref[...] = acc
+
+    in_specs = []
+    operands = []
+    if fused:
+        # α/β ride SMEM (read once per grid step, broadcast by the VPU).
+        ab = jnp.stack([jnp.asarray(coeffs[0], Xt.dtype),
+                        jnp.asarray(coeffs[1], Xt.dtype)])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(ab)
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # Xp stays in HBM
+        pl.BlockSpec((ndiag, BN), lambda i: (0, i)),
+    ]
+    operands += [Xp, Wp]
+    if fused:
+        Zp = jnp.zeros((qt, Np), Xt.dtype)
+        Zp = jax.lax.dynamic_update_slice(Zp, Z.astype(Xt.dtype), (0, 0))
+        in_specs.append(pl.BlockSpec((qt, BN), lambda i: (0, i)))
+        operands.append(Zp)
 
     Yt = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Xp stays in HBM
-            pl.BlockSpec((ndiag, BN), lambda i: (0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((qt, BN), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((qt, Np), Xt.dtype),
         scratch_shapes=[
@@ -342,7 +400,7 @@ def _dia_mm_pallas_t(data, offsets, Xt):
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(Xp, Wp)
+    )(*operands)
     return Yt[:q, :N]
 
 

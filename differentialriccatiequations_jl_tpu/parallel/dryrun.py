@@ -75,3 +75,26 @@ def dryrun_multichip(n_devices: int) -> None:
         )
         jax.block_until_ready((X1.L, K1))
     assert np.isfinite(float(res))
+
+    # --- Newton GARE step on the same mesh (the second benchmark family:
+    # benchmark/benchmarks.jl:32-49) -----------------------------------------
+    # One compiled Kleinman-Newton step: GARE residual factor as the inner
+    # ADI entry residual, closed-loop SMW feedback inside the sharded
+    # shifted Krylov solves.
+    from ..models.compiled import _newton_step_compiled
+    from ..models.residuals import residual_gare_lowrank
+
+    rshifts = shard_replicated(mesh, jnp.asarray([-0.5, -1.5, -3.0], dt))
+    gare_lus = build_dia_shift_ops(E_op, A_op, rshifts)
+    Gs = shard_lowrank(mesh, lr_with_capacity(lowrank(jnp.asarray(B, dt)), 16))
+    Qs = shard_lowrank(
+        mesh, lr_with_capacity(lowrank(jnp.asarray(np.asarray(C).T, dt)), 16))
+    with mesh:
+        K0 = ((B_d.T @ X0.L) @ X0.D) @ E_op.tmm(X0.L).T
+        res_g = residual_gare_lowrank(E_op, A_op, Gs, Qs, X0, r_out=cfg.r_res)
+        X2, it2, res2 = _newton_step_compiled(
+            E_op, A_op, B_d, X0, K0, res_g, rshifts,
+            jnp.asarray(1e-3, dt), cfg, gare_lus,
+        )
+        jax.block_until_ready((X2.L,))
+    assert np.isfinite(float(res2))

@@ -243,3 +243,25 @@ def test_dia_gale_adi_vs_dense_oracle():
     K = np.kron(Ed.T, Ad.T) + np.kron(Ad.T, Ed.T)
     X_ref = np.linalg.solve(K, rhs.reshape(-1)).reshape(n, n)
     np.testing.assert_allclose(Xd, X_ref, rtol=0, atol=1e-8 * sla.norm(X_ref))
+
+
+def test_dia_pallas_fused_axpby_interpret():
+    """The fused SpMM+axpby epilogue (``α·AX + β·Z`` folded into the Pallas
+    kernel) matches the unfused XLA expression."""
+    M = _random_banded(n=300, offsets=(-17, -1, 0, 1, 17), seed=24)
+    op = dia_from_scipy(M, dtype=np.float32)
+    rng = np.random.default_rng(25)
+    Xt = rng.standard_normal((4, op.N)).astype(np.float32)
+    Z = rng.standard_normal((4, op.N)).astype(np.float32)
+    a, b = np.float32(0.37), np.float32(-1.21)
+    ref = a * np.asarray(
+        dia_mod._dia_mm_t_xla(op.data, op.offsets, jnp.asarray(Xt))) + b * Z
+    old = dia_mod._INTERPRET
+    dia_mod._INTERPRET = True
+    try:
+        out = np.asarray(dia_mod._dia_mm_pallas_t(
+            op.data, op.offsets, jnp.asarray(Xt), Z=jnp.asarray(Z),
+            coeffs=(a, b)))
+    finally:
+        dia_mod._INTERPRET = old
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

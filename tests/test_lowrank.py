@@ -158,3 +158,70 @@ def test_capacity_exceeding_n():
     Xc = lr_compress(X)
     assert int(Xc.k) <= 4
     assert np.allclose(np.asarray(lr_to_dense(Xc)), M, atol=1e-12)
+
+
+def test_eigh_via_svd_psd_shift():
+    # The TPU f64 eigh fallback (XLA:TPU cannot lower f64 eigh; the PSD
+    # shift makes one f64 SVD act as the symmetric eigendecomposition).
+    import jax.numpy as jnp
+
+    from differentialriccatiequations_jl_tpu.lowrank import (
+        _eigh_via_svd_psd_shift)
+
+    r = 48
+    W = rng.standard_normal((r, r))
+    lam_true = np.sort(np.concatenate(
+        [np.logspace(0, -13, r // 2), -np.logspace(-2, -12, r - r // 2)]))
+    Q, _ = np.linalg.qr(W)
+    S = (Q * lam_true) @ Q.T
+    S = 0.5 * (S + S.T)
+    lam, V = _eigh_via_svd_psd_shift(jnp.asarray(S))
+    lam, V = np.asarray(lam), np.asarray(V)
+    assert np.all(np.diff(lam) >= 0)  # eigh's ascending convention
+    np.testing.assert_allclose(lam, np.linalg.eigvalsh(S), atol=5e-15)
+    np.testing.assert_allclose((V * lam) @ V.T, S, atol=5e-14)
+
+
+def test_cholqr_tall_ill_conditioned_and_padded():
+    # The TPU f64 tall-QR replacement: shifted CholeskyQR3 must factor
+    # ill-conditioned and zero-padded (dead-column) operands to O(eps).
+    import jax.numpy as jnp
+
+    from differentialriccatiequations_jl_tpu.lowrank import _cholqr_tall
+
+    n, r = 500, 24
+    U, _ = np.linalg.qr(rng.standard_normal((n, r)))
+    s = np.logspace(0, -10, r)  # cond 1e10
+    W, _ = np.linalg.qr(rng.standard_normal((r, r)))
+    L = (U * s) @ W.T
+    L = np.concatenate([L, np.zeros((n, 8))], axis=1)  # padded columns
+    Q, R = _cholqr_tall(jnp.asarray(L))
+    Q, R = np.asarray(Q), np.asarray(R)
+    assert np.linalg.norm(Q @ R - L) < 1e-13 * np.linalg.norm(L)
+    # Zero-padded columns yield zero Q columns (their R rows are ~sqrt(ridge),
+    # so their S contributions are truncated downstream); the active block
+    # must be orthonormal to O(eps).
+    assert np.linalg.norm(Q[:, :r].T @ Q[:, :r] - np.eye(r)) < 1e-12
+    assert np.linalg.norm(Q[:, r:]) < 1e-6
+
+
+def test_eigh_refined_tpu_accuracy():
+    # SVD-seeded refined eigendecomposition: simulate the chip's f32-class
+    # SVD seed by perturbing the exact eigvecs, then check the refinement
+    # recovers O(eps) invariance — including a degenerate cluster.
+    import jax.numpy as jnp
+
+    from differentialriccatiequations_jl_tpu.lowrank import _eigh_refined_tpu
+
+    r = 32
+    lam_true = np.concatenate([[1.0, 1.0 + 1e-12, 0.5], -np.logspace(-1, -13, r - 3)])
+    Q, _ = np.linalg.qr(rng.standard_normal((r, r)))
+    S = (Q * lam_true) @ Q.T
+    S = 0.5 * (S + S.T)
+    lam, V, M = _eigh_refined_tpu(jnp.asarray(S))
+    lam, V, M = np.asarray(lam), np.asarray(V), np.asarray(M)
+    # V orthonormal, and V M Vᵀ reconstructs S to f64
+    assert np.linalg.norm(V.T @ V - np.eye(r)) < 1e-13
+    assert np.linalg.norm((V @ M) @ V.T - S) < 1e-13 * np.linalg.norm(S)
+    np.testing.assert_allclose(np.sort(lam), np.sort(np.linalg.eigvalsh(S)),
+                               atol=1e-13)
