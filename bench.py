@@ -29,6 +29,10 @@ import time
 # benchmark runs in f32 with f32-defensible tolerances.  (The f64 regime is
 # exercised by the x64 test suite and the mixed-precision refined path.)
 os.environ.setdefault("DRE_X64", "0")
+# Persistent XLA compile cache: the emulated-f64 kernels of the
+# mixed-precision accuracy section are slow to compile (minutes at
+# n=1357); caching makes reruns (and re-benchmarks) cheap.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dre_jax_cache_tpu")
 
 N = int(os.environ.get("BENCH_N", 79841))
 Q = int(os.environ.get("BENCH_Q", 32))

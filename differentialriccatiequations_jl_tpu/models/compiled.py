@@ -153,8 +153,11 @@ def default_dia_krylov(dtype, shifts_dtype) -> "object":
     complex shift buffers (complex-symmetric, not Hermitian)."""
     from ..ops.blocklinear import Krylov
 
-    eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
-    if jnp.iscomplexobj(jnp.zeros((), shifts_dtype)):
+    # Pure dtype logic — no eager device scalars: materializing a
+    # complex128 scalar on TPU dies with UNIMPLEMENTED before the dtype
+    # question is even answered.
+    eps = float(jnp.finfo(jnp.dtype(dtype)).eps)
+    if jnp.issubdtype(jnp.dtype(shifts_dtype), jnp.complexfloating):
         return Krylov(method="bicgstab", tol=10 * eps, maxiter=400,
                       preconditioner="block_jacobi", negate=False)
     return Krylov(method="cg", tol=10 * eps, maxiter=400,
@@ -210,7 +213,7 @@ def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
     pdt = cdt
     if krylov_cfg.solve_dtype is not None:
         pdt = jnp.dtype(krylov_cfg.solve_dtype)
-        if jnp.iscomplexobj(jnp.zeros((), cdt)):
+        if jnp.issubdtype(jnp.dtype(cdt), jnp.complexfloating):
             pdt = jnp.result_type(pdt, jnp.complex64)
 
     key = ("pencil_blocks", prec_bs, str(pdt))
@@ -502,7 +505,7 @@ def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
     tau = float(tstops[0] - tstops[1])
 
     F_base = lin_comb(A, -1.0 / (2.0 * tau), E)
-    shifts = jnp.asarray(shifts)
+    shifts = coerce_shifts_for_backend(shifts)
     check_shift_pairing(shifts)
     lus = build_step_shift_solvers(E, F_base, shifts, krylov_cfg)
 
@@ -613,7 +616,7 @@ def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
     tau = float(tstops[0] - tstops[1])
 
     F_core = lin_comb(scale_op(A, _ROS2_GAMMA * tau), -0.5, E)
-    shifts = jnp.asarray(shifts)
+    shifts = coerce_shifts_for_backend(shifts)
     check_shift_pairing(shifts)
     lus = build_step_shift_solvers(E, F_core, shifts, krylov_cfg)
 
@@ -754,6 +757,32 @@ def _shift_buffer(sv, dtype, nshifts: int, real_only: bool = False):
         out.extend(u)
     cdt = jnp.result_type(rdt, jnp.complex64)
     return jnp.asarray(np.asarray(out).astype(cdt))
+
+
+def coerce_shifts_for_backend(shifts):
+    """Real-substitute complex shift buffers on TPU.
+
+    XLA:TPU never finishes compiling the complex64 ADI while-loop (the
+    remote compile hangs at any problem size — measured n=300..5177, v5e
+    round 3), so the compiled path cannot consume complex shifts on chip.
+    Substituting each conjugate pair with the equal-modulus real shift
+    ``-|μ|`` keeps every shift in the open left half-plane — the ADI stays
+    convergent and the residual tolerance is unaffected; only the
+    convergence *rate* on strongly nonsymmetric pencils degrades (for the
+    symmetric Rail/SteelProfile family the optimal Penzl shifts are real
+    anyway).  CPU keeps exact complex arithmetic (double-step
+    recombination, adi.jl:181-195)."""
+    shifts = jnp.asarray(shifts)
+    if not jnp.issubdtype(shifts.dtype, jnp.complexfloating):
+        return shifts
+    from ..ops.dia import _on_tpu
+
+    if not _on_tpu():
+        return shifts
+    arr = np.asarray(shifts)
+    rdt = jnp.finfo(shifts.dtype).dtype  # matching real dtype
+    return jnp.asarray(
+        np.where(np.abs(arr.imag) > 0, -np.abs(arr), arr.real).astype(rdt))
 
 
 def check_shift_pairing(shifts) -> None:
@@ -909,11 +938,13 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
 
     per_step = isinstance(shifts, PerStepHeuristic)
     block_cache = {}
-    # complex128 has no XLA:TPU lowering; on the f64 (mixed-precision)
-    # chip path substitute complex shift pairs with equal-modulus real
-    # shifts (ADI stays convergent, only the rate changes).
+    # The complex64 compiled-ADI while-loop never finishes compiling on
+    # XLA:TPU (and complex128 has no lowering at all): on chip, substitute
+    # complex shift pairs with equal-modulus real shifts for ANY dtype
+    # (see `coerce_shifts_for_backend`; ADI stays convergent, only the
+    # rate changes).  CPU keeps exact complex arithmetic.
     from ..ops.dia import _on_tpu
-    real_shifts_only = dtype == jnp.float64 and _on_tpu()
+    real_shifts_only = _on_tpu()
 
     def _krylov_for(shift_buf):
         # Mixed-precision route: default Krylov config for the shift buffer
@@ -932,7 +963,7 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         lus = None
         shifts = None
     else:
-        shifts = jnp.asarray(shifts)
+        shifts = coerce_shifts_for_backend(shifts)
         check_shift_pairing(shifts)
         lus = build_step_shift_solvers(E, A, shifts, _krylov_for(shifts),
                                        block_cache=block_cache)

@@ -440,3 +440,30 @@ def test_adi_compiled_odd_complex_buffer_conv_diff():
     prob = GALEProblem(Ed, Ad, Clr)
     rel = float(dre.lr_norm(residual(prob, X))) / float(dre.lr_norm(Clr))
     assert rel < 1e-10
+
+
+def test_coerce_shifts_for_backend(monkeypatch):
+    """On TPU, complex shift buffers are substituted with equal-modulus real
+    shifts (the complex64 compiled-ADI loop never finishes compiling on
+    XLA:TPU); on CPU they pass through untouched."""
+    import differentialriccatiequations_jl_tpu.models.compiled as comp
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        coerce_shifts_for_backend)
+
+    sv = jnp.asarray([-1.0 + 0.5j, -1.0 - 0.5j, -2.0 + 0j])
+    out_cpu = coerce_shifts_for_backend(sv)
+    assert jnp.iscomplexobj(out_cpu)
+    np.testing.assert_allclose(np.asarray(out_cpu), np.asarray(sv))
+
+    import differentialriccatiequations_jl_tpu.ops.dia as dia_mod
+    monkeypatch.setattr(dia_mod, "_on_tpu", lambda: True)
+    out_tpu = coerce_shifts_for_backend(sv)
+    assert not jnp.iscomplexobj(out_tpu)
+    np.testing.assert_allclose(
+        np.asarray(out_tpu),
+        [-np.abs(-1.0 + 0.5j), -np.abs(-1.0 - 0.5j), -2.0])
+    assert np.all(np.asarray(out_tpu) < 0)  # stays in the open left half-plane
+
+    # real buffers pass through on every backend
+    rv = jnp.asarray([-1.0, -2.0])
+    assert coerce_shifts_for_backend(rv) is rv
