@@ -300,6 +300,16 @@ def _wrap_smw(core, A, dtype):
     AinvU = core.solve(U)
     m = U.shape[1]
     S = jnp.asarray(A.alpha, dtype) * jnp.eye(m, dtype=dtype) + Vt @ AinvU
+    from ..ops.dia import _on_tpu
+
+    if S.dtype == jnp.float64 and _on_tpu():
+        # XLA:TPU LuDecomposition implements F32/C64 only; the small Schur
+        # system goes through QR on the f64 (mixed-precision) chip path.
+        from ..ops.blocklinear import DenseQRSolver
+
+        q, r = jnp.linalg.qr(S)
+        return SMWSolver(base=core, AinvU=AinvU, V=Vt,
+                         schur=DenseQRSolver(q=q, r=r))
     slu, spiv = jsl.lu_factor(S)
     return SMWSolver(base=core, AinvU=AinvU, V=Vt,
                      schur=DenseLUSolver(lu=slu, piv=spiv))
@@ -962,6 +972,7 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         A_sp = A.to_scipy()
         lus = None
         shifts = None
+        shift_lu_cache = {}  # open-loop splu(E)/splu(A) shared by rebuilds
     else:
         shifts = coerce_shifts_for_backend(shifts)
         check_shift_pairing(shifts)
@@ -1065,7 +1076,8 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         ):
             sv = heuristic_shifts_host(
                 E_sp, A_sp, strat.nshifts, strat.kp, strat.km,
-                B=np.asarray(Bt, np.float64), K=np.asarray(K, np.float64))
+                B=np.asarray(Bt, np.float64), K=np.asarray(K, np.float64),
+                lu_cache=shift_lu_cache)
             shifts = _shift_buffer(sv, dtype, strat.nshifts,
                                    real_only=real_shifts_only)
             lus = build_step_shift_solvers(E, A, shifts, _krylov_for(shifts),

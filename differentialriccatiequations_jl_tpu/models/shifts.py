@@ -289,7 +289,7 @@ def _heuristic_shifts(strategy: Heuristic, E, A) -> list:
 
 
 def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
-                          B=None, K=None):
+                          B=None, K=None, lu_cache: dict = None):
     """Penzl heuristic shifts computed entirely on the host with SciPy
     sparse LU — setup-time helper for compiled/TPU sweeps where the
     device-orchestrated Arnoldi would cost one tunnel round trip per step.
@@ -299,7 +299,12 @@ def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
     pencil ``(E, A − BK)`` — the operator each Kleinman–Newton step's GALE
     actually carries (the reference re-inits its shift strategy per inner
     solve, newton.jl:136-142 → Shifts.init).  ``F⁻¹E`` products use the SMW
-    identity around the sparse LU of ``A`` (one extra m×m dense solve)."""
+    identity around the sparse LU of ``A`` (one extra m×m dense solve).
+
+    ``lu_cache``: optional dict reused across calls with the same pencil
+    (Newton shift rebuilds): the open-loop LUs of ``E``/``A`` are constant
+    — only the SMW correction depends on ``K`` — so rebuilds skip the two
+    `splu` factorizations."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -333,8 +338,13 @@ def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
         ritz = np.linalg.eigvals(H[:k, :k])
         return stabilize_ritz_values(ritz, desc)
 
-    luE = spla.splu(E)
-    luA = spla.splu(A)
+    if lu_cache is not None and "luE" in lu_cache:
+        luE, luA = lu_cache["luE"], lu_cache["luA"]
+    else:
+        luE = spla.splu(E)
+        luA = spla.splu(A)
+        if lu_cache is not None:
+            lu_cache["luE"], lu_cache["luA"] = luE, luA
     if K is None:
         fwd = lambda x: luE.solve(A @ x)
         bwd = lambda x: luA.solve(E @ x)

@@ -102,6 +102,24 @@ class DenseLUSolver:
 
 @register_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
+class DenseQRSolver:
+    """Small dense solver through Householder QR (``x = R⁻¹Qᵀb``).
+
+    The f64-on-TPU stand-in for `DenseLUSolver`: XLA:TPU's LuDecomposition
+    only implements F32/C64 (the expander raises on f64 operands), while
+    its square f64 QR is accurate (~3e-14 recon at 96×96, measured v5e).
+    """
+
+    q: jax.Array  # (m, m)
+    r: jax.Array  # (m, m) upper triangular
+
+    def solve(self, B: jax.Array) -> jax.Array:
+        B = jnp.asarray(B, self.q.dtype)
+        return jsl.solve_triangular(self.r, self.q.T @ B, lower=False)
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
 class SMWSolver:
     """Cached SMW pieces: base solver, ``A⁻¹U``, factored Schur complement."""
 
