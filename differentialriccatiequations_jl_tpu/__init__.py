@@ -58,6 +58,8 @@ from .models import (
     Ros2,
     Ros3,
     Ros4,
+    Parareal,
+    solve_gdre_parareal,
     solve,
     init,
     residual,
@@ -73,7 +75,7 @@ __all__ = [
     "solve_blocklinear",
     "GALEProblem", "GDREProblem", "GAREProblem", "DRESolution",
     "ADI", "BartelsStewart", "GMRES", "Kronecker", "Newton",
-    "Ros1", "Ros2", "Ros3", "Ros4",
+    "Ros1", "Ros2", "Ros3", "Ros4", "Parareal", "solve_gdre_parareal",
     "solve", "init", "residual", "Shifts",
 ]
 

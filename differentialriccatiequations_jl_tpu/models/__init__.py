@@ -37,6 +37,7 @@ from .rosenbrock_lowrank import (
     solve_gdre_lowrank_ros2,
     feedback_K,
 )
+from .parareal import Parareal, solve_gdre_parareal
 from . import shifts
 
 
@@ -69,6 +70,8 @@ def solve(prob, alg, **kwargs):
         raise TypeError(f"no GARE solver for {alg!r}")
     if isinstance(prob, GDREProblem):
         if prob.is_lowrank:
+            if isinstance(alg, Parareal):
+                return solve_gdre_parareal(prob, alg=alg, **kwargs)
             if isinstance(alg, Ros1):
                 return solve_gdre_lowrank_ros1(prob, alg, **kwargs)
             if isinstance(alg, Ros2):
@@ -100,5 +103,6 @@ __all__ = [
     "solve_gale_dense", "solve_gale_host", "solve_gale_kronecker",
     "sign_function_cache", "solve_gare_newton",
     "solve_gdre_dense", "solve_gdre_lowrank_ros1", "solve_gdre_lowrank_ros2",
+    "Parareal", "solve_gdre_parareal",
     "feedback_K", "shifts", "lowrank", "lr_compress",
 ]

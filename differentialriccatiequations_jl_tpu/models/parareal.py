@@ -1,0 +1,258 @@
+"""Parareal (parallel-in-time) LRSIF GDRE solver.
+
+The reference package's preferred citation is the author's thesis "A
+Low-Rank Parareal Solver for Differential Riccati Equations Written in
+Julia" (/root/reference/CITATION.cff:15-25), but **no parareal code exists
+in the reference repo** (SURVEY.md §6) — parallel-in-time integration is
+the package's own stated scaling direction.  This module supplies it,
+TPU-native: the time horizon is split into ``S`` slabs, the expensive fine
+propagator (the fully-compiled LRSIF Ros1 step, `ros1_step_compiled`) runs
+**batched over all slabs at once** — `jax.vmap` over the slab axis inside
+one jit — and the slab axis is sharded over a `jax.sharding.Mesh`, so each
+device integrates its own time slab with zero collectives (the slabs are
+independent; XLA partitions the batch dimension).  The cheap coarse
+propagator (one Ros1 step per slab, ``τ_coarse = n_fine·τ_fine``) runs
+serially and stitches the slabs together with the classic parareal
+correction
+
+    U_{s+1}^{k+1} = G(U_s^{k+1}) + F(U_s^k) − G(U_s^k)
+
+which, on low-rank states, is a lazy LDLᵀ three-term sum (the indefinite
+inner factor absorbs the subtraction natively, LDLt.jl:131-148) followed
+by one column compression back to the slab capacity.
+
+Classical guarantees carry over: after ``k`` iterations the first ``k``
+slab boundaries are *exactly* the serial fine solution (up to compression),
+so ``max_iters = slabs`` reproduces the sequential sweep and small ``k``
+gives speedup ≈ ``S / (k+1)`` on ``S`` devices (minus the serial coarse
+sweeps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..lowrank import (
+    LowRank,
+    lr_add,
+    lr_compress,
+    lr_norm,
+    lr_sub,
+    lr_with_capacity,
+)
+
+__all__ = ["Parareal", "solve_gdre_parareal"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Parareal:
+    """Algorithm config: parareal-in-time around a compiled LRSIF Ros1
+    fine propagator.  Frozen + hashable like every other algorithm struct
+    (riccati/types.jl:95-106 style)."""
+
+    slabs: int = 4
+    max_iters: int | None = None  # default: slabs (exact reproduction)
+    reltol: float = 1e-8  # on the max boundary update, rel. to ‖X(T)‖
+
+
+def _tree_stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _tree_index(tree, i: int):
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _parareal_combine(Gnew: LowRank, F: LowRank, Gold: LowRank,
+                      capacity: int) -> LowRank:
+    """U = compress(Gnew + (F − Gold)) back to the slab capacity."""
+    corr = lr_sub(F, Gold, r_out=2 * capacity)
+    s = lr_add(Gnew, corr, r_out=3 * capacity)
+    return lr_compress(s, r_out=capacity)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _boundary_delta(X: LowRank, Y: LowRank, capacity: int):
+    return lr_norm(lr_sub(X, Y, r_out=2 * capacity))
+
+
+def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
+                        alg: Parareal | None = None,
+                        slabs: int | None = None,
+                        max_iters: int | None = None,
+                        reltol: float | None = None,
+                        capacity: int = 128,
+                        abstol: float | None = None,
+                        coarse_shifts=None,
+                        mesh=None, axis_name: str = "slab",
+                        krylov_cfg=None, observer=None):
+    """Parareal LRSIF GDRE sweep (fine propagator = compiled Ros1).
+
+    Parameters mirror `solve_gdre_ros1_compiled` plus the parareal knobs.
+    ``mesh``: optional `jax.sharding.Mesh` with an axis named ``axis_name``
+    — the slab batch axis of the fine sweep is sharded over it (slab count
+    must be divisible by the axis size).  Returns a `DRESolution` whose
+    ``K``/``t`` cover every fine step and whose ``X`` holds the slab
+    boundary states, plus convergence metadata in ``sol.parareal_info``.
+    """
+    from ..ops.operators import lin_comb
+    from .compiled import (
+        build_step_shift_solvers,
+        check_shift_pairing,
+        coerce_shifts_for_backend,
+        ros1_step_compiled,
+    )
+    from .problems import DRESolution
+    from .rosenbrock_lowrank import time_grid
+
+    alg = alg or Parareal(slabs=slabs or 4, max_iters=max_iters,
+                          reltol=reltol if reltol is not None else 1e-8)
+    if slabs is not None:
+        alg = dataclasses.replace(alg, slabs=slabs)
+    if max_iters is not None:
+        alg = dataclasses.replace(alg, max_iters=max_iters)
+    if reltol is not None:
+        alg = dataclasses.replace(alg, reltol=reltol)
+    S = alg.slabs
+    K_max = alg.max_iters if alg.max_iters is not None else S
+
+    E, A, B, C = prob.E, prob.A, prob.B, prob.C
+    tstops = time_grid(prob.tspan, dt)
+    nsteps = len(tstops) - 1
+    if nsteps % S:
+        raise ValueError(f"nsteps={nsteps} not divisible by slabs={S}")
+    n_fine = nsteps // S
+    tau_f = float(tstops[0] - tstops[1])
+    tau_c = n_fine * tau_f
+    if mesh is not None:
+        ax = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+        if S % ax:
+            raise ValueError(f"slabs={S} not divisible by mesh axis "
+                             f"'{axis_name}' size {ax}")
+
+    if abstol is None:
+        n = E.shape[0]
+        abstol = float(n * jnp.finfo(B.dtype).eps
+                       * jnp.linalg.norm(C, "fro"))
+    abstol_d = jnp.asarray(abstol, B.dtype)
+
+    shifts = coerce_shifts_for_backend(shifts)
+    check_shift_pairing(shifts)
+    cshifts = (shifts if coarse_shifts is None
+               else coerce_shifts_for_backend(coarse_shifts))
+    lus_f = build_step_shift_solvers(
+        E, lin_comb(A, -1.0 / (2.0 * tau_f), E), shifts, krylov_cfg)
+    lus_c = build_step_shift_solvers(
+        E, lin_comb(A, -1.0 / (2.0 * tau_c), E), cshifts, krylov_cfg)
+    tau_f_d = jnp.asarray(tau_f, B.dtype)
+    tau_c_d = jnp.asarray(tau_c, B.dtype)
+
+    def _fine_step(X):
+        return ros1_step_compiled(E, A, B, C, X, tau_f_d, shifts,
+                                  abstol_d, cfg, lus_f)
+
+    @jax.jit
+    def _coarse_step(X):
+        Xn, _, _, _ = ros1_step_compiled(E, A, B, C, X, tau_c_d, cshifts,
+                                         abstol_d, cfg, lus_c)
+        return Xn
+
+    @jax.jit
+    def _fine_sweep(Xb):
+        """All slabs advanced n_fine steps; per-step feedbacks collected.
+
+        `lax.scan` over fine steps of a `vmap` over slabs: one compiled
+        program, slab axis partitionable by the mesh (no cross-slab ops)."""
+
+        def body(Xb, _):
+            Xb, Kb, it, res = jax.vmap(_fine_step)(Xb)
+            return Xb, (Kb, it, res)
+
+        Xb, (Ks, its, ress) = jax.lax.scan(body, Xb, None, length=n_fine)
+        return Xb, Ks, jnp.sum(its), jnp.max(ress)
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(axis_name))
+
+    def _put(Xb):
+        if sharding is None:
+            return Xb
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, sharding if x.ndim else NamedSharding(
+                    sharding.mesh, type(sharding.spec)())), Xb)
+
+    X0 = lr_with_capacity(lr_compress(prob.X0, r_out=prob.X0.r), capacity)
+
+    # Initialization: serial coarse sweep (parareal iteration 0).
+    U = [X0]
+    Gold = []
+    for s in range(S):
+        g = _coarse_step(U[s])
+        Gold.append(g)
+        U.append(g)
+
+    deltas = []
+    fine_iters_total = 0
+    res_max = 0.0
+    it_done = 0
+    for k in range(K_max):
+        Xb0 = _put(_tree_stack(U[:S]))
+        Fb, _, its, rmax = _fine_sweep(Xb0)
+        fine_iters_total += int(its)
+        res_max = max(res_max, float(rmax))
+        Unew = [X0]
+        delta_max = 0.0
+        for s in range(S):
+            Fs = _tree_index(Fb, s)
+            if s < k + 1:
+                # First k+1 boundaries are converged (classical parareal
+                # exactness): the fine value IS the update, skip coarse.
+                Us1 = Fs
+            else:
+                Gnew = _coarse_step(Unew[s])
+                Us1 = _parareal_combine(Gnew, Fs, Gold[s], capacity)
+                Gold[s] = Gnew
+            delta_max = max(delta_max, float(
+                _boundary_delta(Us1, U[s + 1], capacity)))
+            Unew.append(Us1)
+        U = Unew
+        deltas.append(delta_max)
+        it_done = k + 1
+        if observer is not None:
+            # One event per parareal iteration (coarse+fine sweep pair).
+            observer.observe_gdre_step(float(tstops[-1]), U[-1], None)
+        if delta_max <= alg.reltol * float(lr_norm(U[-1])):
+            break
+
+    # Final fine sweep from the converged boundaries: yields the full
+    # K(t) trajectory of the parareal solution (and its GALE residuals).
+    Fb, Ks, its, rmax = _fine_sweep(_put(_tree_stack(U[:S])))
+    fine_iters_total += int(its)
+    res_max = max(res_max, float(rmax))
+    U = [X0] + [_tree_index(Fb, s) for s in range(S)]
+
+    L0, D0 = X0.L, X0.D
+    K0 = ((B.T @ L0) @ D0) @ E.tmm(L0).T
+    # Ks: (n_fine, S, m, n) → time-ordered (S·n_fine, m, n).
+    Ks = jnp.swapaxes(Ks, 0, 1).reshape((nsteps,) + Ks.shape[2:])
+    K_list = [K0] + [Ks[i] for i in range(nsteps)]
+
+    sol = DRESolution(U, K_list, tstops)
+    sol.adi_iters = fine_iters_total
+    sol.adi_res_max = res_max
+    sol.parareal_info = {
+        "iterations": it_done,
+        "deltas": deltas,
+        "slabs": S,
+        "n_fine": n_fine,
+    }
+    return sol

@@ -1,0 +1,107 @@
+"""Parareal (parallel-in-time) LRSIF GDRE solver tests.
+
+The reference repo ships no parareal code — its preferred citation is the
+author's low-rank parareal thesis (/root/reference/CITATION.cff:15-25) —
+so the oracle here is this framework's own serial compiled Ros1 sweep
+(itself validated against the host driver and the dense reference path,
+tests/test_compiled.py): classical parareal with ``max_iters = slabs``
+must reproduce the sequential fine solution, fewer iterations must
+converge monotonically, and the mesh-sharded slab axis must not change
+the trajectory (the test/cuda.jl:86-101 analog for the time axis).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import scipy.sparse.linalg as sspla
+
+from differentialriccatiequations_jl_tpu import GDREProblem, lowrank, solve
+from differentialriccatiequations_jl_tpu.lowrank import lr_to_dense, lr_with_capacity
+from differentialriccatiequations_jl_tpu.models.compiled import (
+    CompiledConfig,
+    solve_gdre_ros1_compiled,
+)
+from differentialriccatiequations_jl_tpu.models.parareal import (
+    Parareal,
+    solve_gdre_parareal,
+)
+from differentialriccatiequations_jl_tpu.models.shifts import heuristic_shifts_host
+from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+
+CFG = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
+
+
+def _setup(n=96, nsteps=6, tau=20.0):
+    E, A, B, C = rail_surrogate(n)
+    E_op, A_op = dia_pencil(E, A)
+    sv = heuristic_shifts_host(E, A, 8, 10, 10)
+    shifts = jnp.asarray([s.real for s in sv])
+    q = C.shape[0]
+    L0 = sspla.splu(E.tocsc()).solve(np.asarray(C).T.copy())
+    X0 = lr_with_capacity(lowrank(jnp.asarray(L0), 0.01 * jnp.eye(q)), 96)
+    tspan = (4500.0, 4500.0 - tau * nsteps)
+    prob = GDREProblem(E_op, A_op, jnp.asarray(B), jnp.asarray(C), X0, tspan)
+    return prob, shifts, tau
+
+
+def _rel_dK(sol, ref):
+    worst = 0.0
+    for Kc, Kr in zip(sol.K[1:], ref.K[1:]):
+        nrm = max(np.linalg.norm(np.asarray(Kr)), 1e-300)
+        worst = max(worst, np.linalg.norm(np.asarray(Kc) - np.asarray(Kr)) / nrm)
+    return worst
+
+
+def test_parareal_reproduces_serial_fine_sweep():
+    """max_iters = slabs ⇒ every slab boundary is the exact fine value
+    (classical parareal exactness), so the final trajectory equals the
+    sequential compiled Ros1 sweep."""
+    prob, shifts, tau = _setup(nsteps=6)
+    kw = dict(dt=-tau, shifts=shifts, cfg=CFG, capacity=96, abstol=1e-13)
+    ref = solve_gdre_ros1_compiled(prob, **kw)
+    sol = solve_gdre_parareal(prob, alg=Parareal(slabs=3, max_iters=3), **kw)
+    assert len(sol.K) == len(ref.K)
+    assert sol.parareal_info["iterations"] <= 3
+    assert _rel_dK(sol, ref) < 1e-8
+    dX = np.linalg.norm(np.asarray(lr_to_dense(sol.X[-1])) -
+                        np.asarray(lr_to_dense(ref.X[-1])))
+    assert dX / np.linalg.norm(np.asarray(lr_to_dense(ref.X[-1]))) < 1e-8
+
+
+def test_parareal_converges_in_few_iterations():
+    """On the dissipative rail surrogate the parareal correction contracts
+    fast: two iterations over three slabs already track the serial sweep,
+    and the boundary updates decrease monotonically."""
+    prob, shifts, tau = _setup(nsteps=6)
+    kw = dict(dt=-tau, shifts=shifts, cfg=CFG, capacity=96, abstol=1e-13)
+    ref = solve_gdre_ros1_compiled(prob, **kw)
+    sol = solve_gdre_parareal(prob, alg=Parareal(slabs=3, max_iters=2),
+                              **kw)
+    d = sol.parareal_info["deltas"]
+    assert len(d) == 2 and d[1] < d[0]
+    assert _rel_dK(sol, ref) < 1e-3
+
+
+def test_parareal_solve_dispatch():
+    prob, shifts, tau = _setup(nsteps=4)
+    sol = solve(prob, Parareal(slabs=2, max_iters=2), dt=-tau,
+                shifts=shifts, cfg=CFG, capacity=96, abstol=1e-13)
+    assert sol.parareal_info["slabs"] == 2
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_parareal_sharded_slab_axis_matches_single_device():
+    """Slab axis sharded over a 4-device mesh (each device owns one time
+    slab of the fine sweep, zero collectives) vs the unsharded run."""
+    prob, shifts, tau = _setup(nsteps=8)
+    kw = dict(dt=-tau, shifts=shifts, cfg=CFG, capacity=96, abstol=1e-13,
+              alg=Parareal(slabs=4, max_iters=2))
+    sol1 = solve_gdre_parareal(prob, **kw)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:4]), ("slab",))
+    sol2 = solve_gdre_parareal(prob, mesh=mesh, **kw)
+    assert _rel_dK(sol2, sol1) < 1e-10
+    assert sol1.parareal_info["deltas"] == pytest.approx(
+        sol2.parareal_info["deltas"], rel=1e-8)
