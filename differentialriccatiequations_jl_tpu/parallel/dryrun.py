@@ -98,3 +98,30 @@ def dryrun_multichip(n_devices: int) -> None:
         )
         jax.block_until_ready((X2.L,))
     assert np.isfinite(float(res2))
+
+    # --- Parareal: the TIME axis sharded over the same devices ---------------
+    # One parareal iteration of the parallel-in-time GDRE solver: the
+    # vmapped fine sweep's slab axis is partitioned over an n_devices mesh
+    # (each device integrates its own time slab; no collectives).
+    from ..models.parareal import Parareal, solve_gdre_parareal
+    from ..models.problems import GDREProblem
+
+    n2 = 96
+    E2, A2, B2, C2 = rail_surrogate(n2)
+    E2_op, A2_op = dia_pencil(E2, A2, dtype=dt)
+    q2 = C2.shape[0]
+    L02 = spla.splu(E2.tocsc()).solve(np.asarray(C2).T.copy())
+    X02 = lr_with_capacity(
+        lowrank(jnp.asarray(L02, dt), 0.01 * jnp.eye(q2, dtype=dt)), 64)
+    tau2 = 20.0
+    prob2 = GDREProblem(E2_op, A2_op, jnp.asarray(B2, dt),
+                        jnp.asarray(C2, dt), X02,
+                        (4500.0, 4500.0 - tau2 * n_devices))
+    smesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:n_devices]), ("slab",))
+    sol = solve_gdre_parareal(
+        prob2, dt=-tau2, shifts=jnp.asarray([-0.5, -1.5, -3.0], dt),
+        cfg=cfg, capacity=64, alg=Parareal(slabs=n_devices, max_iters=1),
+        mesh=smesh, abstol=1e-6 if dt == jnp.float32 else 1e-8)
+    jax.block_until_ready(sol.K[-1])
+    assert np.isfinite(sol.adi_res_max)
