@@ -150,7 +150,12 @@ def bench_gdre_ros2(jax, jnp, np, extra):
     # defensible tolerance: n·eps·‖C‖ for the run dtype
     abstol = float(ng * jnp.finfo(dt).eps * np.linalg.norm(Cg))
     cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
-    kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96, abstol=abstol)
+    # fused=True: whole trajectory in ONE lax.scan dispatch — the per-step
+    # driver pays one ~25-30 ms tunnel round trip per step, which at this
+    # size IS the step time (measured 34.6 steps/s per-step vs the fused
+    # sweep below on the same chip).
+    kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96, abstol=abstol,
+              fused=True)
     sol = solve_gdre_ros2_compiled(prob, **kw)
     jax.block_until_ready(sol.K[-1])
     t1 = time.time()
@@ -159,7 +164,8 @@ def bench_gdre_ros2(jax, jnp, np, extra):
     t2 = time.time()
     steps_s = nsteps / (t2 - t1)
     iters_per_step = sol.adi_iters / nsteps
-    log(f"[bench] GDRE LRSIF Ros2 compiled n={ng} abstol={abstol:.2e}: "
+    log(f"[bench] GDRE LRSIF Ros2 compiled (fused scan) n={ng} "
+        f"abstol={abstol:.2e}: "
         f"cold {t1-t0:.1f}s, warm {t2-t1:.2f}s -> {steps_s:.2f} steps/s "
         f"(adi_iters/step={iters_per_step:.1f})")
     extra["gdre_ros2_steps_per_s_n1357"] = steps_s

@@ -490,9 +490,54 @@ def build_step_shift_solvers(E, F_base, shifts, krylov_cfg=None,
     return build_sparse_shift_ops(E, core, shifts, krylov_cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg", "nsteps", "save_state", "stepper"))
+def _gdre_sweep_scan(E, A, B, C, X, tau, shifts, abstol, cfg, lus,
+                     nsteps: int, save_state: bool, stepper: str):
+    """Whole GDRE trajectory in ONE dispatch: `lax.scan` over the compiled
+    Rosenbrock step.  The per-step host drivers pay one tunnel round trip
+    (~25-30 ms on hosted TPU) per time step — at n=1357 that overhead IS
+    the step time, so fusing the sweep multiplies steps/s by the step
+    count.  Feedbacks (and states, if ``save_state``) are stacked scan
+    outputs; iteration counts/residuals are reduced on device."""
+    step = ros1_step_compiled if stepper == "ros1" else ros2_step_compiled
+
+    def body(Xc, _):
+        Xn, K, it, res = step(E, A, B, C, Xc, tau, shifts, abstol, cfg, lus)
+        return Xn, ((Xn, K, it, res) if save_state else (K, it, res))
+
+    Xf, outs = jax.lax.scan(body, X, None, length=nsteps)
+    if save_state:
+        Xs, Ks, its, ress = outs
+    else:
+        Ks, its, ress = outs
+        Xs = None
+    return Xf, Xs, Ks, jnp.sum(its), jnp.max(ress)
+
+
+def _run_fused_sweep(E, A, B, C, X, tau_d, shifts, abstol, cfg, lus,
+                     tstops, save_state, stepper, DRESolution):
+    nsteps = len(tstops) - 1
+    L0, D0 = X.L, X.D
+    K0 = ((B.T @ L0) @ D0) @ E.tmm(L0).T
+    Xf, Xs_st, Ks_st, its, ress = _gdre_sweep_scan(
+        E, A, B, C, X, tau_d, shifts, abstol, cfg, lus,
+        nsteps, save_state, stepper)
+    Ks = [K0] + [Ks_st[i] for i in range(nsteps)]
+    if save_state:
+        Xs = [X] + [jax.tree.map(lambda a, i=i: a[i], Xs_st)
+                    for i in range(nsteps)]
+    else:
+        Xs = [X, Xf]
+    sol = DRESolution(Xs, Ks, tstops)
+    sol.adi_iters = int(its)
+    sol.adi_res_max = float(ress)
+    return sol
+
+
 def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
                              capacity: int = 128, abstol: float = None,
-                             save_state: bool = False, krylov_cfg=None):
+                             save_state: bool = False, krylov_cfg=None,
+                             fused: bool = False):
     """Full LRSIF Ros1 GDRE sweep on the compiled path.
 
     One jitted time step (fixed shapes: iterate capacity `capacity`,
@@ -526,6 +571,11 @@ def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
         )
     abstol = jnp.asarray(abstol, B.dtype)
     tau_d = jnp.asarray(tau, B.dtype)
+
+    if fused:
+        from .problems import DRESolution as _DRES
+        return _run_fused_sweep(E, A, B, C, X, tau_d, shifts, abstol, cfg,
+                                lus, tstops, save_state, "ros1", _DRES)
 
     Xs = [X]
     Ks = [None]  # filled after first step for K0 convenience
@@ -611,7 +661,8 @@ def ros2_step_compiled(E, A, B, C, X: LowRank, tau, shifts, abstol,
 
 def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
                              capacity: int = 128, abstol: float = None,
-                             save_state: bool = False, krylov_cfg=None):
+                             save_state: bool = False, krylov_cfg=None,
+                             fused: bool = False):
     """Full LRSIF Ros2 GDRE sweep on the compiled path (the BASELINE.md
     throughput configuration).  The shifted cores ``(γτA − E/2)ᵀ + μEᵀ``
     are factored once for the whole trajectory."""
@@ -637,6 +688,11 @@ def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
         )
     abstol = jnp.asarray(abstol, B.dtype)
     tau_d = jnp.asarray(tau, B.dtype)
+
+    if fused:
+        from .problems import DRESolution as _DRES
+        return _run_fused_sweep(E, A, B, C, X, tau_d, shifts, abstol, cfg,
+                                lus, tstops, save_state, "ros2", _DRES)
 
     Xs = [X]
     L0, D0 = X.L, X.D

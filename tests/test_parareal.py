@@ -105,3 +105,30 @@ def test_parareal_sharded_slab_axis_matches_single_device():
     assert _rel_dK(sol2, sol1) < 1e-10
     assert sol1.parareal_info["deltas"] == pytest.approx(
         sol2.parareal_info["deltas"], rel=1e-8)
+
+
+def test_fused_scan_sweep_matches_per_step_driver():
+    """`fused=True` runs the whole trajectory as ONE `lax.scan` dispatch
+    (the TPU steady-state mode: per-step host round trips removed); the
+    math is the identical compiled step, so trajectories must agree to
+    roundoff, including save_state stacking."""
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        solve_gdre_ros2_compiled,
+    )
+
+    prob, shifts, tau = _setup(nsteps=5)
+    kw = dict(dt=-tau, shifts=shifts, cfg=CFG, capacity=96, abstol=1e-13)
+    ref1 = solve_gdre_ros1_compiled(prob, **kw)
+    f1 = solve_gdre_ros1_compiled(prob, fused=True, save_state=True, **kw)
+    assert f1.adi_iters == ref1.adi_iters
+    assert _rel_dK(f1, ref1) < 1e-12
+    assert len(f1.X) == len(f1.t)
+    dX = np.linalg.norm(np.asarray(lr_to_dense(f1.X[-1])) -
+                        np.asarray(lr_to_dense(ref1.X[-1])))
+    assert dX / max(np.linalg.norm(np.asarray(lr_to_dense(ref1.X[-1]))),
+                    1e-300) < 1e-12
+
+    ref2 = solve_gdre_ros2_compiled(prob, **kw)
+    f2 = solve_gdre_ros2_compiled(prob, fused=True, **kw)
+    assert f2.adi_iters == ref2.adi_iters
+    assert _rel_dK(f2, ref2) < 1e-12
