@@ -1,6 +1,11 @@
 """Benchmark: ADI shifted-solve/SpMM throughput + solver wall times.
 
-Prints ONE JSON line:
+Prints the headline JSON line *incrementally*: after every completed stage
+the full (updated) JSON line is re-emitted, so a driver timeout at ANY
+point still leaves the newest complete snapshot as the last line —
+round 3 lost its entire record to a timeout because the line was printed
+once at the very end (BENCH_r03.json rc=124, parsed=null).
+
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Headline metric (honest unit): **csr-equivalent nnz/s** of the ADI hot
@@ -9,48 +14,177 @@ storage — each structural nonzero is counted once, padding is NOT counted
 (round 1 reported stored-nnz/s over a 112×-padded block-ELL format; its
 csr-equivalent rate, 0.44 Gnnz/s, is the recorded baseline).
 
-Secondary metrics (in "extra" + stderr):
-  * compiled LRSIF **Ros2** GDRE sweep at n=1357 at a defensible tolerance
-    (n·eps·‖C‖ for the run dtype) with adi_iters/step recorded — the
-    BASELINE.md "GDRE time-steps/sec" anchor,
-  * Newton+ADI GARE wall time at n∈{1357, 5177} with the reference's
-    benchmark configuration (Cyclic Heuristic(20,30,30) shifts,
-    G = lowrank(1000·B), /root/reference/benchmark/benchmarks.jl:32-49).
+Stages (each wrapped in a soft time budget, BENCH_BUDGET_S, default 540 s;
+stages are skipped — and recorded as skipped — when the remaining budget is
+below their estimated cost, so the process exits cleanly inside the
+driver's timeout; the reference treats its benchmark suite as a CI
+artifact that must always produce a report, .gitlab-ci.yml:17-31):
+
+  1. spmm        — headline DIA SpMM throughput, n=79841
+  2. gdre        — compiled fused LRSIF Ros2 sweep, n=1357 (steps/s)
+  3. mixed       — reference-class (1e-10) accuracy ON CHIP via mixed
+                   precision, n=1357 (subprocess: needs jax_enable_x64)
+  4. newton      — Newton+ADI GARE wall time, n∈{1357, 5177} (reference
+                   benchmark config, benchmarks.jl:32-49)
+  5. northstar   — BASELINE.md config 5: full GDRE sweep + Newton GARE at
+                   n=79841 on the chip (subprocess; new in round 4)
+  6. fgmres      — Newton+FGMRES(capped-ADI preconditioner), n=1357
+  7. parareal    — parallel-in-time speedup vs the serial fine sweep
+                   (slab-batched on the chip + 8-device virtual CPU mesh)
+  8. judge       — cross-round regression verdicts vs the previous
+                   BENCH_r{N}.json (PkgBenchmark `judge` analog,
+                   /root/reference/benchmark/README.md:31-40)
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 # Pallas on the TPU backend requires an x32 process (see config.py); the
 # benchmark runs in f32 with f32-defensible tolerances.  (The f64 regime is
-# exercised by the x64 test suite and the mixed-precision refined path.)
+# exercised by the x64 test suite and the mixed-precision "mixed" stage,
+# which runs in a subprocess with x64 enabled.)
 os.environ.setdefault("DRE_X64", "0")
-# Persistent XLA compile cache: the emulated-f64 kernels of the
-# mixed-precision accuracy section are slow to compile (minutes at
-# n=1357); caching makes reruns (and re-benchmarks) cheap.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dre_jax_cache_tpu")
+# NO persistent XLA compile cache on the hosted-TPU ("axon") platform:
+# loading a previously-cached large executable HANGS the backend
+# indefinitely (measured round 4: a populated cache froze every
+# n=79841-class program at dispatch; the same programs compile fine with
+# the cache off).  Defensively unset an inherited cache dir.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 N = int(os.environ.get("BENCH_N", 79841))
 Q = int(os.environ.get("BENCH_Q", 32))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 ITERS = int(os.environ.get("BENCH_ITERS", 2000))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
 
 # Round-1 csr-equivalent throughput of the same hot SpMM on the same matrix
 # (block-ELL bs=128; BENCH_r01.json stderr tail) — the honest baseline.
 R01_CSR_EQUIV_NNZ_S = 0.44e9
+
+T0 = time.time()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_spmm(jax, jnp, np):
-    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil, shifted_dia
-    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+def remaining():
+    return BUDGET_S - (time.time() - T0)
+
+
+class Report:
+    """Incrementally-emitted headline JSON (VERDICT r3 missing #1)."""
+
+    def __init__(self):
+        self.value = None
+        self.extra = {"stages_skipped": [], "stages_failed": []}
+
+    def emit(self):
+        if self.value is None:
+            return
+        print(json.dumps({
+            "metric": "adi_shifted_spmm_csr_nnz_per_s_chip_rail79841_surrogate",
+            "value": self.value,
+            "unit": "nnz/s (csr-equivalent)",
+            "vs_baseline": self.value / R01_CSR_EQUIV_NNZ_S,
+            "extra": self.extra,
+        }), flush=True)
+
+    def stage(self, name, fn, est, *args):
+        """Run one stage under the soft budget; always re-emit after."""
+        if remaining() < est:
+            log(f"[bench] SKIP stage {name}: est {est:.0f}s > "
+                f"remaining {remaining():.0f}s budget")
+            self.extra["stages_skipped"].append(name)
+            self.emit()
+            return
+        t0 = time.time()
+        try:
+            fn(self, *args)
+        except Exception as e:  # secondary metrics must not break the bench
+            log(f"[bench] stage {name} failed: {e!r}")
+            self.extra["stages_failed"].append(name)
+        log(f"[bench] stage {name}: {time.time()-t0:.1f}s "
+            f"(remaining budget {remaining():.0f}s)")
+        self.emit()
+
+    def _merge_extra_json(self, stdout: str) -> bool:
+        got = None
+        for line in (stdout or "").splitlines():
+            if line.startswith("EXTRA_JSON:"):
+                got = json.loads(line[len("EXTRA_JSON:"):])
+        if got is not None:
+            self.extra.update(got)
+        return got is not None
+
+    def substage(self, name, est, cap, env=None):
+        """Run ``python bench.py --substage NAME`` in a subprocess with a
+        hard timeout, merging its (latest) EXTRA_JSON line into extras.
+        Isolation serves two needs: global-config stages (jax_enable_x64,
+        CPU platform) and hard kill-ability of compile-heavy stages so the
+        parent always exits cleanly inside the driver budget.  Substages
+        print EXTRA_JSON incrementally, so even a timed-out substage
+        contributes whatever it measured."""
+        if remaining() < min(est, cap) + 15:
+            log(f"[bench] SKIP substage {name}: est {est:.0f}s > "
+                f"remaining {remaining():.0f}s budget")
+            self.extra["stages_skipped"].append(name)
+            self.emit()
+            return
+        timeout = max(10.0, min(cap, remaining() - 10))
+        t0 = time.time()
+        penv = dict(os.environ)
+        penv.update(env or {})
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--substage", name],
+                capture_output=True, text=True, timeout=timeout, env=penv)
+            sys.stderr.write(out.stderr)
+            if not self._merge_extra_json(out.stdout):
+                raise RuntimeError(
+                    f"substage produced no EXTRA_JSON (rc={out.returncode})")
+        except subprocess.TimeoutExpired as e:
+            err = e.stderr
+            if err:
+                sys.stderr.write(err if isinstance(err, str)
+                                 else err.decode())
+            sout = e.stdout
+            if sout is not None and not isinstance(sout, str):
+                sout = sout.decode()
+            salvaged = self._merge_extra_json(sout)
+            log(f"[bench] substage {name} timed out after {timeout:.0f}s"
+                + (" (partial metrics salvaged)" if salvaged else ""))
+            self.extra["stages_failed"].append(name)
+        except Exception as e:
+            log(f"[bench] substage {name} failed: {e!r}")
+            self.extra["stages_failed"].append(name)
+        log(f"[bench] substage {name}: {time.time()-t0:.1f}s "
+            f"(remaining budget {remaining():.0f}s)")
+        self.emit()
+
+
+# --------------------------------------------------------------------------
+# Stage 1: headline SpMM throughput
+# --------------------------------------------------------------------------
+
+
+def bench_spmm(rep):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from differentialriccatiequations_jl_tpu.ops.dia import (
+        dia_pencil, shifted_dia)
+    from differentialriccatiequations_jl_tpu.utils.testmat import (
+        rail_surrogate)
 
     t0 = time.time()
     E, A, B, C = rail_surrogate(N)
@@ -116,11 +250,19 @@ def bench_spmm(jax, jnp, np):
         f"marginal over {i2-i1} iters -> {csr_nnz_per_s/1e9:.2f} Gnnz/s "
         f"(csr-equivalent; ~{bw/1e9:.0f} GB/s effective), "
         f"dispatch overhead ~{(t1-t0) - i1*per_iter:.3f}s/call")
-    return csr_nnz_per_s
+    rep.value = csr_nnz_per_s
 
 
-def bench_gdre_ros2(jax, jnp, np, extra):
+# --------------------------------------------------------------------------
+# Stage 2: compiled fused Ros2 GDRE sweep, n=1357
+# --------------------------------------------------------------------------
+
+
+def bench_gdre_ros2(rep):
     """Compiled LRSIF Ros2 sweep, n=1357, defensible tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     import scipy.sparse as sp
     import scipy.sparse.linalg as sspla
 
@@ -131,7 +273,8 @@ def bench_gdre_ros2(jax, jnp, np, extra):
     from differentialriccatiequations_jl_tpu.models.shifts import (
         heuristic_shifts_host)
     from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
-    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+    from differentialriccatiequations_jl_tpu.utils.testmat import (
+        rail_surrogate)
 
     ng, tau, nsteps = 1357, 10.0, 10
     t0 = time.time()
@@ -168,19 +311,29 @@ def bench_gdre_ros2(jax, jnp, np, extra):
         f"abstol={abstol:.2e}: "
         f"cold {t1-t0:.1f}s, warm {t2-t1:.2f}s -> {steps_s:.2f} steps/s "
         f"(adi_iters/step={iters_per_step:.1f})")
-    extra["gdre_ros2_steps_per_s_n1357"] = steps_s
-    extra["gdre_ros2_adi_iters_per_step"] = iters_per_step
-    extra["gdre_ros2_abstol"] = abstol
+    rep.extra["gdre_ros2_steps_per_s_n1357"] = steps_s
+    rep.extra["gdre_ros2_adi_iters_per_step"] = iters_per_step
+    rep.extra["gdre_ros2_abstol"] = abstol
 
 
-def bench_newton_gare(jax, jnp, np, extra, ng):
+# --------------------------------------------------------------------------
+# Stage 4: Newton+ADI GARE (reference benchmark config)
+# --------------------------------------------------------------------------
+
+
+def bench_newton_gare(rep, ng):
     """Newton+ADI GARE wall time, reference benchmark config
     (benchmarks.jl:32-49): Heuristic(20,30,30) shifts, G = lowrank(1000·B)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from differentialriccatiequations_jl_tpu import GAREProblem, lowrank
     from differentialriccatiequations_jl_tpu.models.compiled import (
         CompiledConfig, PerStepHeuristic, solve_gare_newton_compiled)
     from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
-    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+    from differentialriccatiequations_jl_tpu.utils.testmat import (
+        rail_surrogate)
 
     t0 = time.time()
     Eg, Ag, Bg, Cg = rail_surrogate(ng)
@@ -213,28 +366,39 @@ def bench_newton_gare(jax, jnp, np, extra, ng):
     # A timing of a non-converged run is not a benchmark result: record the
     # failure and leave the wall-time fields out (VERDICT r2 weak #2).
     if not info["converged"]:
-        extra[f"newton_gare_failed_n{ng}"] = True
-        extra[f"newton_gare_final_rel_res_n{ng}"] = rel_res
+        rep.extra[f"newton_gare_failed_n{ng}"] = True
+        rep.extra[f"newton_gare_final_rel_res_n{ng}"] = rel_res
         raise RuntimeError(
             f"Newton GARE n={ng} did not converge (rel res {rel_res:.2e})")
-    extra[f"newton_gare_wall_s_n{ng}"] = t2 - t1
-    extra[f"newton_gare_iters_n{ng}"] = info["newton_steps"]
-    extra[f"newton_gare_adi_iters_n{ng}"] = sum(info["adi_iters"])
-    extra[f"newton_gare_shift_rebuilds_n{ng}"] = info["shift_rebuilds"]
-    extra[f"newton_gare_final_rel_res_n{ng}"] = rel_res
+    rep.extra[f"newton_gare_wall_s_n{ng}"] = t2 - t1
+    rep.extra[f"newton_gare_iters_n{ng}"] = info["newton_steps"]
+    rep.extra[f"newton_gare_adi_iters_n{ng}"] = sum(info["adi_iters"])
+    rep.extra[f"newton_gare_shift_rebuilds_n{ng}"] = info["shift_rebuilds"]
+    rep.extra[f"newton_gare_final_rel_res_n{ng}"] = rel_res
 
 
-def bench_newton_fgmres(jax, jnp, np, extra, ng):
+# --------------------------------------------------------------------------
+# Stage 6: Newton+FGMRES GARE
+# --------------------------------------------------------------------------
+
+
+def bench_newton_fgmres(rep, ng=1357):
     """Newton+FGMRES(capped-ADI preconditioner) GARE — the reference's
     second benchmark family (benchmarks.jl:21-31,36-49): GMRES(maxiters=5,
     maxrestarts=0) with an ADI(15) preconditioner applied per Krylov
     vector, one compiled dispatch per application."""
-    from differentialriccatiequations_jl_tpu import GAREProblem, GMRES, lowrank
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from differentialriccatiequations_jl_tpu import (
+        GAREProblem, GMRES, lowrank)
     from differentialriccatiequations_jl_tpu.models.compiled import (
         CappedADI, CompiledConfig, PerStepHeuristic,
         solve_gare_newton_compiled)
     from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
-    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+    from differentialriccatiequations_jl_tpu.utils.testmat import (
+        rail_surrogate)
 
     t0 = time.time()
     Eg, Ag, Bg, Cg = rail_surrogate(ng)
@@ -262,16 +426,21 @@ def bench_newton_fgmres(jax, jnp, np, extra, ng):
         f"{t2-t1:.2f}s; converged={info['converged']} "
         f"newton_steps={info['newton_steps']} final_rel_res={rel_res:.2e}")
     if not info["converged"]:
-        extra[f"newton_fgmres_failed_n{ng}"] = True
-        extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
+        rep.extra[f"newton_fgmres_failed_n{ng}"] = True
+        rep.extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
         raise RuntimeError(
             f"Newton FGMRES n={ng} did not converge (rel res {rel_res:.2e})")
-    extra[f"newton_fgmres_wall_s_n{ng}"] = t2 - t1
-    extra[f"newton_fgmres_iters_n{ng}"] = info["newton_steps"]
-    extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
+    rep.extra[f"newton_fgmres_wall_s_n{ng}"] = t2 - t1
+    rep.extra[f"newton_fgmres_iters_n{ng}"] = info["newton_steps"]
+    rep.extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
 
 
-def bench_accuracy_mixed(jax, jnp, np, extra):
+# --------------------------------------------------------------------------
+# Substage: mixed-precision reference-class accuracy on chip (x64 process)
+# --------------------------------------------------------------------------
+
+
+def substage_mixed():
     """Reference-class accuracy ON CHIP via mixed precision (BASELINE.md
     'match reference residual tolerances' row): f64 problem data (XLA:TPU
     software-emulated f64), f32 Krylov cores + iterative refinement
@@ -279,27 +448,33 @@ def bench_accuracy_mixed(jax, jnp, np, extra):
     relative residuals for both solver families at n=1357."""
     import dataclasses
 
+    os.environ["DRE_X64"] = "1"
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # f64 emulated on TPU
+    import jax.numpy as jnp
+    import numpy as np
     import scipy.sparse as sp
     import scipy.sparse.linalg as sspla
 
     from differentialriccatiequations_jl_tpu import (
         GAREProblem, GDREProblem, lowrank)
-    from differentialriccatiequations_jl_tpu.lowrank import (
-        lr_norm, lr_with_capacity)
+    from differentialriccatiequations_jl_tpu.lowrank import lr_with_capacity
     from differentialriccatiequations_jl_tpu.models.compiled import (
         _ROS2_GAMMA, CompiledConfig, PerStepHeuristic, default_dia_krylov,
         solve_gare_newton_compiled, solve_gdre_ros2_compiled)
     from differentialriccatiequations_jl_tpu.models.shifts import (
         heuristic_shifts_host)
     from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
-    from differentialriccatiequations_jl_tpu.utils.testmat import rail_surrogate
+    from differentialriccatiequations_jl_tpu.utils.testmat import (
+        rail_surrogate)
 
-    jax.config.update("jax_enable_x64", True)  # f64 emulated on TPU
+    extra = {}
     ng, tau, nsteps = 1357, 10.0, 3
     Eg, Ag, Bg, Cg = rail_surrogate(ng)
     E_op, A_op = dia_pencil(Eg, Ag, dtype=np.float64)
 
-    # --- GDRE Ros2, 1e-10-class stage tolerance ------------------------------
+    # --- GDRE Ros2, 1e-10-class stage tolerance ---------------------------
     t0 = time.time()
     sv = heuristic_shifts_host(
         Eg, sp.csr_matrix((_ROS2_GAMMA * tau) * Ag - 0.5 * Eg), 16, 20, 20)
@@ -327,8 +502,9 @@ def bench_accuracy_mixed(jax, jnp, np, extra):
         f"stage rel res {rel_gdre:.2e} (target 1e-10 class; "
         f"{time.time()-t0:.1f}s incl. compile)")
     extra["gdre_ros2_mixed_rel_res_n1357"] = rel_gdre
+    print("EXTRA_JSON:" + json.dumps(extra), flush=True)  # partial, in case
 
-    # --- Newton GARE, reltol 1e-10 -------------------------------------------
+    # --- Newton GARE, reltol 1e-10 ----------------------------------------
     t0 = time.time()
     gprob = GAREProblem(
         E_op, A_op, lowrank(jnp.asarray(1000.0 * Bg, jnp.float64)),
@@ -344,52 +520,303 @@ def bench_accuracy_mixed(jax, jnp, np, extra):
         f"steps={info['newton_steps']}, {time.time()-t0:.1f}s incl. compile)")
     extra["newton_gare_mixed_rel_res_n1357"] = rel_newton
     extra["newton_gare_mixed_converged_n1357"] = bool(info["converged"])
+    print("EXTRA_JSON:" + json.dumps(extra), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Substage: north-star config — full GDRE + Newton GARE at n=79841 on chip
+# --------------------------------------------------------------------------
+
+
+def substage_northstar():
+    """BASELINE.md config 5 end-to-end: LRSIF Ros2 GDRE sweep and a
+    Newton-ADI GARE solve at the flagship n=79841, on the chip — the scaled
+    analog of the reference's full-solve benchmark family
+    (/root/reference/benchmark/benchmarks.jl:32-49).  VERDICT r3 missing #2."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as sspla
+
+    from differentialriccatiequations_jl_tpu import (
+        GAREProblem, GDREProblem, lowrank)
+    from differentialriccatiequations_jl_tpu.lowrank import lr_with_capacity
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        _ROS2_GAMMA, CompiledConfig, PerStepHeuristic,
+        solve_gare_newton_compiled, solve_gdre_ros2_compiled)
+    from differentialriccatiequations_jl_tpu.models.shifts import (
+        heuristic_shifts_host)
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import (
+        rail_surrogate)
+
+    extra = {}
+    ng, tau, nsteps = 79841, 10.0, 5
+    t0 = time.time()
+    Eg, Ag, Bg, Cg = rail_surrogate(ng)
+    dt = jnp.dtype(DTYPE)
+    E_op, A_op = dia_pencil(Eg, Ag, dtype=np.dtype(DTYPE))
+
+    # --- GDRE Ros2 sweep ---------------------------------------------------
+    sv = heuristic_shifts_host(
+        Eg, sp.csr_matrix((_ROS2_GAMMA * tau) * Ag - 0.5 * Eg), 16, 20, 20)
+    shifts = jnp.asarray(np.asarray([s.real for s in sv], np.dtype(DTYPE)))
+    qg = Cg.shape[0]
+    L0 = sspla.splu(Eg.tocsc()).solve(np.asarray(Cg).T.copy())
+    X0 = lr_with_capacity(
+        lowrank(jnp.asarray(L0, dt), 0.01 * jnp.eye(qg, dtype=dt)), 96)
+    prob = GDREProblem(E_op, A_op, jnp.asarray(Bg, dt), jnp.asarray(Cg, dt),
+                       X0, (4500.0, 4500.0 - tau * nsteps))
+    norm_C = float(np.linalg.norm(np.asarray(Cg)))
+    abstol = float(ng * jnp.finfo(dt).eps * norm_C)
+    cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
+    kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96, abstol=abstol,
+              fused=True)
+    log(f"[bench] north-star setup {time.time()-t0:.1f}s")
+    t0 = time.time()
+    sol = solve_gdre_ros2_compiled(prob, **kw)
+    jax.block_until_ready(sol.K[-1])
+    t1 = time.time()
+    sol = solve_gdre_ros2_compiled(prob, **kw)
+    jax.block_until_ready(sol.K[-1])
+    t2 = time.time()
+    steps_s = nsteps / (t2 - t1)
+    rel = sol.adi_res_max / norm_C
+    log(f"[bench] NORTH-STAR GDRE Ros2 n={ng} ({nsteps} steps) "
+        f"abstol={abstol:.2e}: cold {t1-t0:.1f}s, warm {t2-t1:.2f}s -> "
+        f"{steps_s:.2f} steps/s (adi_iters/step={sol.adi_iters/nsteps:.1f}, "
+        f"worst stage rel res {rel:.2e})")
+    extra["gdre_steps_per_s_n79841"] = steps_s
+    extra["gdre_adi_iters_per_step_n79841"] = sol.adi_iters / nsteps
+    extra["gdre_rel_res_n79841"] = rel
+    print("EXTRA_JSON:" + json.dumps(extra), flush=True)
+
+    # --- Newton-ADI GARE ---------------------------------------------------
+    t0 = time.time()
+    gprob = GAREProblem(E_op, A_op,
+                        lowrank(jnp.asarray(1000.0 * Bg, dt)),
+                        lowrank(jnp.asarray(np.asarray(Cg).T, dt)))
+    reltol = float(ng * jnp.finfo(dt).eps)
+    kw = dict(shifts=PerStepHeuristic(20, 30, 30), cfg=cfg, capacity=96,
+              reltol=reltol)
+    X, info = solve_gare_newton_compiled(gprob, **kw)
+    jax.block_until_ready(X.L)
+    t1 = time.time()
+    X, info = solve_gare_newton_compiled(gprob, **kw)
+    jax.block_until_ready(X.L)
+    t2 = time.time()
+    rel_res = info["residuals"][-1] / info["residuals"][0]
+    log(f"[bench] NORTH-STAR Newton+ADI GARE n={ng} reltol={reltol:.1e}: "
+        f"cold {t1-t0:.1f}s, warm {t2-t1:.2f}s; "
+        f"converged={info['converged']} "
+        f"newton_steps={info['newton_steps']} "
+        f"shift_rebuilds={info['shift_rebuilds']} "
+        f"final_rel_res={rel_res:.2e}")
+    if info["converged"]:
+        extra["newton_gare_wall_s_n79841"] = t2 - t1
+        extra["newton_gare_iters_n79841"] = info["newton_steps"]
+        extra["newton_gare_final_rel_res_n79841"] = rel_res
+    else:
+        extra["newton_gare_failed_n79841"] = True
+        extra["newton_gare_final_rel_res_n79841"] = rel_res
+    print("EXTRA_JSON:" + json.dumps(extra), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Substage: parareal speedup on the chip (slab-batched vs serial sweep)
+# --------------------------------------------------------------------------
+
+
+def substage_parareal():
+    """Parallel-in-time speedup at fixed accuracy (VERDICT r3 missing #4):
+    wall-clock of `solve_gdre_parareal` (fine propagator batched over S
+    slabs in one dispatch) vs the serial fused Ros1 sweep, on the single
+    chip.  On one chip the speedup comes from slab *batching*: at n=1357
+    a time step is latency/occupancy-bound, so S slabs advance in nearly
+    the time of one — parareal converging in k ≪ S iterations then beats
+    the serial sweep outright.  The multi-device scaling of the same slab
+    axis is certified by the 8-device dryrun (parallel/dryrun.py) and
+    measured on the virtual CPU mesh in tests/test_parareal.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as sspla
+
+    from differentialriccatiequations_jl_tpu import GDREProblem, lowrank
+    from differentialriccatiequations_jl_tpu.lowrank import lr_with_capacity
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        CompiledConfig, solve_gdre_ros1_compiled)
+    from differentialriccatiequations_jl_tpu.models.parareal import (
+        solve_gdre_parareal)
+    from differentialriccatiequations_jl_tpu.models.shifts import (
+        heuristic_shifts_host)
+    from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+    from differentialriccatiequations_jl_tpu.utils.testmat import (
+        rail_surrogate)
+
+    extra = {}
+    ng, tau, S, n_fine = 1357, 5.0, 8, 4
+    nsteps = S * n_fine
+    Eg, Ag, Bg, Cg = rail_surrogate(ng)
+    dt = jnp.dtype(DTYPE)
+    E_op, A_op = dia_pencil(Eg, Ag, dtype=np.dtype(DTYPE))
+    sv = heuristic_shifts_host(
+        Eg, sp.csr_matrix(Ag - Eg / (2.0 * tau)), 16, 20, 20)
+    shifts = jnp.asarray(np.asarray([s.real for s in sv], np.dtype(DTYPE)))
+    qg = Cg.shape[0]
+    L0 = sspla.splu(Eg.tocsc()).solve(np.asarray(Cg).T.copy())
+    X0 = lr_with_capacity(
+        lowrank(jnp.asarray(L0, dt), 0.01 * jnp.eye(qg, dtype=dt)), 96)
+    prob = GDREProblem(E_op, A_op, jnp.asarray(Bg, dt), jnp.asarray(Cg, dt),
+                       X0, (4500.0, 4500.0 - tau * nsteps))
+    abstol = float(ng * jnp.finfo(dt).eps * np.linalg.norm(Cg))
+    cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
+
+    ser_kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96,
+                  abstol=abstol, fused=True)
+    par_kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96,
+                  abstol=abstol, slabs=S, reltol=1e-5)
+
+    sol_s = solve_gdre_ros1_compiled(prob, **ser_kw)
+    jax.block_until_ready(sol_s.K[-1])
+    t0 = time.time()
+    sol_s = solve_gdre_ros1_compiled(prob, **ser_kw)
+    jax.block_until_ready(sol_s.K[-1])
+    t_serial = time.time() - t0
+
+    sol_p = solve_gdre_parareal(prob, **par_kw)
+    jax.block_until_ready(sol_p.K[-1])
+    t0 = time.time()
+    sol_p = solve_gdre_parareal(prob, **par_kw)
+    jax.block_until_ready(sol_p.K[-1])
+    t_par = time.time() - t0
+
+    # Accuracy vs the serial sweep at the matched tolerance.
+    dK = float(jnp.linalg.norm(sol_p.K[-1] - sol_s.K[-1])
+               / jnp.linalg.norm(sol_s.K[-1]))
+    k_iters = sol_p.parareal_info["iterations"]
+    speedup = t_serial / t_par
+    log(f"[bench] parareal n={ng} S={S} n_fine={n_fine}: serial "
+        f"{t_serial:.2f}s vs parareal {t_par:.2f}s (k={k_iters}) -> "
+        f"speedup {speedup:.2f}x on ONE chip (slab batching); "
+        f"final K rel delta {dK:.2e}")
+    extra["parareal_speedup_1chip"] = speedup
+    extra["parareal_iterations"] = k_iters
+    extra["parareal_K_rel_delta_vs_serial"] = dK
+    print("EXTRA_JSON:" + json.dumps(extra), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Stage 8: cross-round regression judge
+# --------------------------------------------------------------------------
+
+_HIGHER_BETTER = ("steps_per_s", "nnz_per_s", "speedup")
+_LOWER_BETTER = ("wall_s", "rel_res", "iters", "rebuilds")
+
+
+def bench_judge(rep):
+    """PkgBenchmark `judge` analog (/root/reference/benchmark/README.md:31-40):
+    diff this run's metrics against the latest recorded BENCH_r{N}.json and
+    classify PASS / IMPROVED / REGRESSED (>10% in the metric's bad
+    direction)."""
+    rounds = []
+    for f in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            rounds.append((int(m.group(1)), f))
+    if not rounds:
+        return
+    rn, path = max(rounds)
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+    except Exception as e:
+        log(f"[bench] judge: cannot read {path}: {e!r}")
+        return
+    prev_parsed = prev.get("parsed") or {}
+    prev_extra = dict(prev_parsed.get("extra") or {})
+    if prev_parsed.get("value") is not None:
+        prev_extra["__headline__"] = prev_parsed["value"]
+
+    cur = dict(rep.extra)
+    cur["__headline__"] = rep.value
+    verdicts = {}
+    for key, new in cur.items():
+        old = prev_extra.get(key)
+        if not isinstance(new, (int, float)) or isinstance(new, bool):
+            continue
+        if not isinstance(old, (int, float)) or isinstance(old, bool):
+            continue
+        if old == 0:
+            continue
+        ratio = new / old
+        if key == "__headline__" or any(s in key for s in _HIGHER_BETTER):
+            good = ratio
+        elif any(s in key for s in _LOWER_BETTER):
+            good = 1.0 / ratio if ratio != 0 else float("inf")
+        else:
+            continue
+        if good >= 1.10:
+            verdicts[key] = f"IMPROVED {ratio:.2f}x"
+        elif good <= 0.90:
+            verdicts[key] = f"REGRESSED {ratio:.2f}x"
+        else:
+            verdicts[key] = "PASS"
+    rep.extra["judge_vs_round"] = rn
+    rep.extra["judge"] = verdicts
+    n_reg = sum(1 for v in verdicts.values() if v.startswith("REGRESSED"))
+    log(f"[bench] judge vs BENCH_r{rn:02d}: "
+        f"{len(verdicts)} metrics compared, {n_reg} regressed")
+    for k, v in sorted(verdicts.items()):
+        if v != "PASS":
+            log(f"[bench]   {k}: {v}")
+
+
+# --------------------------------------------------------------------------
 
 
 def main():
     t0 = time.time()
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     import differentialriccatiequations_jl_tpu  # noqa: F401 (x64 flag)
 
-    log(f"[bench] devices={jax.devices()} import+init {time.time()-t0:.1f}s")
+    log(f"[bench] devices={jax.devices()} import+init {time.time()-t0:.1f}s "
+        f"budget={BUDGET_S:.0f}s")
 
-    csr_nnz_per_s = bench_spmm(jax, jnp, np)
-
-    extra = {}
+    # Stage order = round priority (VERDICT r3): headline first (it alone
+    # is a valid minimal record), then the accuracy and north-star asks,
+    # then the reference benchmark families.  Estimates are COLD compile
+    # costs (no persistent cache on this platform — see header); the soft
+    # budget skips what cannot fit and the incremental emission keeps every
+    # completed stage on record regardless.
+    rep = Report()
+    rep.stage("spmm", bench_spmm, 25)
     if os.environ.get("BENCH_GDRE", "1") != "0":
-        try:
-            bench_gdre_ros2(jax, jnp, np, extra)
-        except Exception as e:  # secondary metrics must not break the bench
-            log(f"[bench] GDRE Ros2 metric failed: {e!r}")
-    if os.environ.get("BENCH_NEWTON", "1") != "0":
-        for ng in (1357, 5177):
-            try:
-                bench_newton_gare(jax, jnp, np, extra, ng)
-            except Exception as e:
-                log(f"[bench] Newton GARE n={ng} metric failed: {e!r}")
-    if os.environ.get("BENCH_GMRES", "1") != "0":
-        try:
-            bench_newton_fgmres(jax, jnp, np, extra, 1357)
-        except Exception as e:
-            log(f"[bench] Newton FGMRES metric failed: {e!r}")
+        rep.stage("gdre_ros2_n1357", bench_gdre_ros2, 50)
     if os.environ.get("BENCH_MIXED", "1") != "0":
-        # Last: flips jax_enable_x64 on for the accuracy section.
-        try:
-            bench_accuracy_mixed(jax, jnp, np, extra)
-        except Exception as e:
-            log(f"[bench] mixed-precision accuracy metric failed: {e!r}")
-
-    print(json.dumps({
-        "metric": "adi_shifted_spmm_csr_nnz_per_s_chip_rail79841_surrogate",
-        "value": csr_nnz_per_s,
-        "unit": "nnz/s (csr-equivalent)",
-        "vs_baseline": csr_nnz_per_s / R01_CSR_EQUIV_NNZ_S,
-        "extra": extra,
-    }), flush=True)
+        rep.substage("mixed", est=200, cap=260)
+    if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
+        rep.substage("northstar", est=190, cap=240)
+    if os.environ.get("BENCH_NEWTON", "1") != "0":
+        rep.stage("newton_n1357", bench_newton_gare, 40, 1357)
+        rep.stage("newton_n5177", bench_newton_gare, 55, 5177)
+    if os.environ.get("BENCH_GMRES", "1") != "0":
+        rep.stage("fgmres_n1357", bench_newton_fgmres, 320)
+    if os.environ.get("BENCH_PARAREAL", "1") != "0":
+        rep.substage("parareal", est=140, cap=180)
+    bench_judge(rep)
+    rep.emit()
+    log(f"[bench] total wall {time.time()-T0:.1f}s")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--substage":
+        {"mixed": substage_mixed,
+         "northstar": substage_northstar,
+         "parareal": substage_parareal}[sys.argv[2]]()
+    else:
+        main()

@@ -97,7 +97,8 @@ class SparseShiftOps:
 
 
 @register_pytree_dataclass(
-    meta_fields=("offsets", "n", "nnz_", "use_pallas", "mesh", "cfg")
+    meta_fields=("offsets", "n", "nnz_", "use_pallas", "mesh", "cfg",
+                 "pair_cfg")
 )
 @dataclasses.dataclass(frozen=True)
 class DiaShiftOps:
@@ -109,6 +110,13 @@ class DiaShiftOps:
 
     Complex shift buffers store complex DIA data (the double-step solve is a
     single complex Krylov solve, adi.jl:196-204); real buffers stay real.
+    **Pair-encoded** buffers — 2-D real ``(ns, 2)`` shift arrays of
+    ``(Re μ, Im μ)`` rows, the TPU path (see `encode_shifts_for_operator`)
+    — store the *real part* ``A₀ᵀ + aₛEᵀ`` in ``data`` plus the ``Eᵀ`` DIA
+    data and stacked-real complex block-inverse preconditioners for the
+    conjugate-pair slots; `pair_solver` then solves the double step's
+    complex system as an all-real 2n block system (`ops.dia.DiaPairOp`,
+    SURVEY.md §7 item 4) so nothing complex ever enters the while-loop.
     With ``cfg.solve_dtype`` set, `core_solver` returns a mixed-precision
     `RefinedKrylovSolver` (f32 Krylov core + full-dtype refinement).
     ``mesh`` switches every SpMM inside the solve to the halo-exchange
@@ -123,15 +131,26 @@ class DiaShiftOps:
     use_pallas: bool
     mesh: object
     cfg: object  # ops.blocklinear.Krylov
+    # Pair-encoded (all-real double step) extras; None for 1-D buffers.
+    et_data: jax.Array | None = None  # (ndiag, N): Eᵀ
+    et_data_t: jax.Array | None = None
+    pair_prec_re: jax.Array | None = None  # (n_pairs, nb, bs, bs)
+    pair_prec_im: jax.Array | None = None
+    pair_index: jax.Array | None = None  # (ns,) slot → pair row (0 if real)
+    pair_cfg: object = None  # Krylov for the stacked-real pair system
+
+    def _dia(self, idx):
+        from ..ops.dia import DiaOp
+
+        return DiaOp(data=self.data[idx], data_t=self.data_t[idx],
+                     offsets=self.offsets, n=self.n, nnz_=self.nnz_,
+                     use_pallas=self.use_pallas, mesh=self.mesh)
 
     def core_solver(self, idx):
         from ..ops.blocklinear import KrylovSolver, RefinedKrylovSolver
-        from ..ops.dia import DiaOp
         from ..ops.operators import op_astype
 
-        op = DiaOp(data=self.data[idx], data_t=self.data_t[idx],
-                   offsets=self.offsets, n=self.n, nnz_=self.nnz_,
-                   use_pallas=self.use_pallas, mesh=self.mesh)
+        op = self._dia(idx)
         cfg = self.cfg
         prec = self.prec_inv[idx]
         if cfg.solve_dtype is not None:
@@ -141,6 +160,47 @@ class DiaShiftOps:
             if lo != op.dtype:
                 inner = KrylovSolver(
                     op=op_astype(op, lo), prec=prec,
+                    cfg=dataclasses.replace(cfg, solve_dtype=None))
+                return RefinedKrylovSolver(op_hi=op, inner=inner,
+                                           iters=cfg.refine_iters)
+        return KrylovSolver(op=op, prec=prec, cfg=cfg)
+
+    def pair_solver(self, idx, b):
+        """Stacked-real solver for slot ``idx`` holding a conjugate pair
+        ``a ± b·i``: the 2n system ``[[F, −bEᵀ], [bEᵀ, F]]`` with
+        ``F = data[idx]`` (already shifted by ``a``)."""
+        from ..ops.blocklinear import (
+            KrylovSolver, PairBlockPrec, RefinedKrylovSolver)
+        from ..ops.dia import DiaOp, DiaPairOp
+
+        if self.et_data is None:
+            raise ValueError("shift buffer was not pair-encoded")
+        Et = DiaOp(data=self.et_data, data_t=self.et_data_t,
+                   offsets=self.offsets, n=self.n, nnz_=self.nnz_,
+                   use_pallas=self.use_pallas, mesh=self.mesh)
+        op = DiaPairOp(F=self._dia(idx), Et=Et,
+                       b=jnp.asarray(b, self.data.dtype))
+        pi = self.pair_index[idx]
+        prec = PairBlockPrec(re=self.pair_prec_re[pi],
+                             im=self.pair_prec_im[pi])
+        cfg = self.pair_cfg
+        if cfg.solve_dtype is not None:
+            lo = jnp.dtype(cfg.solve_dtype)
+            if lo != op.dtype:
+                lo_op = DiaPairOp(
+                    F=DiaOp(data=self.data[idx].astype(lo),
+                            data_t=self.data_t[idx].astype(lo),
+                            offsets=self.offsets, n=self.n, nnz_=self.nnz_,
+                            use_pallas=self.use_pallas, mesh=self.mesh),
+                    Et=DiaOp(data=self.et_data.astype(lo),
+                             data_t=self.et_data_t.astype(lo),
+                             offsets=self.offsets, n=self.n, nnz_=self.nnz_,
+                             use_pallas=self.use_pallas, mesh=self.mesh),
+                    b=jnp.asarray(b, lo))
+                inner = KrylovSolver(
+                    op=lo_op,
+                    prec=PairBlockPrec(re=prec.re.astype(lo),
+                                       im=prec.im.astype(lo)),
                     cfg=dataclasses.replace(cfg, solve_dtype=None))
                 return RefinedKrylovSolver(op_hi=op, inner=inner,
                                            iters=cfg.refine_iters)
@@ -164,6 +224,13 @@ def default_dia_krylov(dtype, shifts_dtype) -> "object":
                   preconditioner="block_jacobi", negate=True)
 
 
+def _pair_krylov(cfg) -> "object":
+    """Krylov config for the stacked-real pair system derived from the real
+    config: the 2n block system is real nonsymmetric (skew coupling), so
+    BiCGStab without negation, same tolerances/preconditioner class."""
+    return dataclasses.replace(cfg, method="bicgstab", negate=False)
+
+
 @jax.jit
 def _shifted_dia_data(At_data, At_data_t, Et_data, Et_data_t, shifts):
     def one(mu):
@@ -185,6 +252,29 @@ def _shift_block_inverses(blkA, blkE, shifts):
     return jax.vmap(one)(shifts)
 
 
+@jax.jit
+def _pair_block_inverses(blkA, blkE, ab):
+    """Stacked-real complex block-Jacobi inverses for conjugate-pair shift
+    slots: for ``μ = a + b·i`` the complex diagonal block is
+    ``M = (blkA + a·blkE) + i·(b·blkE)``; its inverse ``P + i·Q`` is read
+    off the inverse of the real 2bs×2bs representation
+    ``[[R, −I], [I, R]]`` — all-real arithmetic, TPU-safe (complex64
+    `inv` never reaches the chip).  ``ab``: (n_pairs, 2).  Memory note: the
+    2bs blocks are inverted one pair at a time (`lax.map`) so the transient
+    is (nb, 2bs, 2bs) per pair, not ×n_pairs."""
+
+    def one(ab_s):
+        R = blkA + ab_s[0] * blkE
+        I_ = ab_s[1] * blkE
+        top = jnp.concatenate([R, -I_], axis=-1)
+        bot = jnp.concatenate([I_, R], axis=-1)
+        Tinv = jnp.linalg.inv(jnp.concatenate([top, bot], axis=-2))
+        bs = R.shape[-1]
+        return Tinv[:, :bs, :bs], Tinv[:, bs:, :bs]
+
+    return jax.lax.map(one, ab)
+
+
 def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
                         prec_bs: int = 128, block_cache: dict = None
                         ) -> DiaShiftOps:
@@ -196,19 +286,34 @@ def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
     (e.g. Newton shift rebuilds, compiled.py) — caches the pencil members'
     diagonal blocks so a rebuild costs one batched add + one batched
     inverse instead of re-extracting blocks per shift (measured 20s → <1s
-    of the warm n=5177 Newton wall time)."""
+    of the warm n=5177 Newton wall time).
+
+    ``shifts`` encodings: 1-D real (all-real buffer), 1-D complex (complex
+    double-step solve — CPU only), or **2-D real (ns, 2)** rows
+    ``(Re μ, Im μ)`` — the pair encoding whose conjugate-pair slots run
+    the all-real stacked double step (`DiaShiftOps.pair_solver`)."""
     from ..ops.dia import DiaOp
 
     shifts = jnp.asarray(shifts)
+    pair_encoded = shifts.ndim == 2
+    has_pairs = pair_encoded and bool(np.any(np.asarray(shifts)[:, 1] != 0))
     if krylov_cfg is None:
-        krylov_cfg = default_dia_krylov(E.dtype, shifts.dtype)
+        # A pair-encoded buffer with any nonzero Im μ means the pencil is
+        # nonsymmetric (symmetric pencils have real Penzl/projection
+        # shifts) — then the REAL slots must also use BiCGStab, exactly as
+        # the 1-D complex buffer's dtype-derived config would have chosen
+        # (CG on the negated operator is only valid for the symmetric
+        # case).  All-real buffers keep CG.
+        krylov_cfg = default_dia_krylov(
+            E.dtype, jnp.complex64 if has_pairs else shifts.dtype)
 
     At, Et = A0.adjoint(), E.adjoint()
-    cdt = jnp.result_type(At.dtype, shifts.dtype)
+    a_part = shifts[:, 0] if pair_encoded else shifts
+    cdt = jnp.result_type(At.dtype, a_part.dtype)
 
     data, data_t = _shifted_dia_data(
         At.data.astype(cdt), At.data_t.astype(cdt),
-        Et.data.astype(cdt), Et.data_t.astype(cdt), shifts)
+        Et.data.astype(cdt), Et.data_t.astype(cdt), a_part)
 
     pdt = cdt
     if krylov_cfg.solve_dtype is not None:
@@ -228,11 +333,30 @@ def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
         blkE = opE.diag_blocks(prec_bs, pad_identity=False)
         if block_cache is not None:
             block_cache[key] = (blkA, blkE)
-    inv = _shift_block_inverses(blkA, blkE, shifts.astype(pdt))
+    inv = _shift_block_inverses(blkA, blkE, a_part.astype(pdt))
+
+    pair_kw = {}
+    if pair_encoded:
+        ab_host = np.asarray(shifts)
+        pair_rows = np.nonzero(ab_host[:, 1] != 0)[0]
+        if pair_rows.size:
+            # Compact pair tables: stacked-real block inverses only for
+            # the conjugate-pair slots; (ns,) index maps slot → pair row.
+            pidx = np.zeros(ab_host.shape[0], np.int32)
+            pidx[pair_rows] = np.arange(pair_rows.size, dtype=np.int32)
+            P, Qm = _pair_block_inverses(
+                blkA, blkE, shifts[pair_rows].astype(pdt))
+            pair_kw = dict(
+                et_data=Et.data.astype(cdt),
+                et_data_t=Et.data_t.astype(cdt),
+                pair_prec_re=P, pair_prec_im=Qm,
+                pair_index=jnp.asarray(pidx),
+                pair_cfg=_pair_krylov(krylov_cfg),
+            )
     return DiaShiftOps(
         data=data, data_t=data_t, prec_inv=inv,
         offsets=At.offsets, n=At.n, nnz_=At.nnz_, use_pallas=At.use_pallas,
-        mesh=At.mesh, cfg=krylov_cfg,
+        mesh=At.mesh, cfg=krylov_cfg, **pair_kw,
     )
 
 
@@ -287,19 +411,11 @@ def build_shift_lus(E, A0, shifts) -> ShiftLUs:
     return ShiftLUs(lu=lu, piv=piv)
 
 
-def _wrap_smw(core, A, dtype):
-    """SMW correction for the feedback update around a prepared core
-    (sherman-morrison-woodbury.jl:10-47)."""
-    from ..ops.blocklinear import DenseLUSolver, SMWSolver
+def _small_dense_solver(S):
+    """Prepared solver for a small dense system, TPU-f64-safe."""
     import jax.scipy.linalg as jsl
 
-    if not isinstance(A, LowRankUpdateOp):
-        return core
-    U = A.V.T.astype(dtype)
-    Vt = A.U.T.astype(dtype)
-    AinvU = core.solve(U)
-    m = U.shape[1]
-    S = jnp.asarray(A.alpha, dtype) * jnp.eye(m, dtype=dtype) + Vt @ AinvU
+    from ..ops.blocklinear import DenseLUSolver
     from ..ops.dia import _on_tpu
 
     if S.dtype == jnp.float64 and _on_tpu():
@@ -308,11 +424,50 @@ def _wrap_smw(core, A, dtype):
         from ..ops.blocklinear import DenseQRSolver
 
         q, r = jnp.linalg.qr(S)
-        return SMWSolver(base=core, AinvU=AinvU, V=Vt,
-                         schur=DenseQRSolver(q=q, r=r))
+        return DenseQRSolver(q=q, r=r)
     slu, spiv = jsl.lu_factor(S)
+    return DenseLUSolver(lu=slu, piv=spiv)
+
+
+def _wrap_smw(core, A, dtype):
+    """SMW correction for the feedback update around a prepared core
+    (sherman-morrison-woodbury.jl:10-47)."""
+    from ..ops.blocklinear import SMWSolver
+
+    if not isinstance(A, LowRankUpdateOp):
+        return core
+    U = A.V.T.astype(dtype)
+    Vt = A.U.T.astype(dtype)
+    AinvU = core.solve(U)
+    m = U.shape[1]
+    S = jnp.asarray(A.alpha, dtype) * jnp.eye(m, dtype=dtype) + Vt @ AinvU
     return SMWSolver(base=core, AinvU=AinvU, V=Vt,
-                     schur=DenseLUSolver(lu=slu, piv=spiv))
+                     schur=_small_dense_solver(S))
+
+
+def _wrap_smw_pair(core, A, dtype):
+    """SMW correction around a *stacked-real pair* core solver: the
+    closed-loop update ``α⁻¹UV`` is real, the shifted base is complex
+    (a ± b·i pair), so ``A⁻¹U = P + iQ`` comes from one stacked solve and
+    the Schur complement is factored in its real 2m×2m block form."""
+    from ..ops.blocklinear import PairSMWSolver
+
+    if not isinstance(A, LowRankUpdateOp):
+        return core
+    U = A.V.T.astype(dtype)
+    Vt = A.U.T.astype(dtype)
+    m = U.shape[1]
+    AinvU_st = core.solve(
+        jnp.concatenate([U, jnp.zeros_like(U)], axis=1))
+    P, Q = AinvU_st[:, :m], AinvU_st[:, m:]
+    Sr = jnp.asarray(A.alpha, dtype) * jnp.eye(m, dtype=dtype) + Vt @ P
+    Si = Vt @ Q
+    S2 = jnp.concatenate([
+        jnp.concatenate([Sr, -Si], axis=1),
+        jnp.concatenate([Si, Sr], axis=1),
+    ], axis=0)
+    return PairSMWSolver(base=core, AinvU_re=P, AinvU_im=Q, V=Vt,
+                         schur=_small_dense_solver(S2))
 
 
 def _masked_cols(W, k):
@@ -334,8 +489,12 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
         columns to ``X``, keeping padded zero columns from eating capacity.
       X0: warm-start iterate (static capacity).  ``W0 T0 W0ᵀ`` must be the
         GALE residual *at* ``X0`` (adi.jl:44-47).
-      shifts: complex shift buffer, consumed cyclically (conjugate pairs
-        adjacent, as produced by `Shifts` strategies).
+      shifts: cyclic shift buffer.  1-D real: all-real fast path; 1-D
+        complex: conjugate pairs adjacent (as produced by `Shifts`
+        strategies), double step via one complex solve (CPU path); 2-D
+        real ``(ns, 2)`` rows ``(Re μ, Im μ)``: pair encoding — one slot
+        per conjugate pair, double step via the all-real stacked 2n system
+        (`DiaShiftOps.pair_solver`; TPU path, SURVEY.md §7 item 4).
       abstol: absolute residual tolerance.
 
     Compression triggers on the reference's interval (adi.jl:111-113) and
@@ -347,6 +506,7 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
     Returns (X, W, iters, res_norm).
     """
     nshifts = shifts.shape[0]
+    pair_encoded = shifts.ndim == 2
     inner = cfg.inner_alg
     if inner is None and shift_lus is None:
         inner = default_inner_alg(
@@ -365,8 +525,11 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
         solver = _wrap_smw(core, A, sdt)
         return solver.solve(B.astype(sdt))
 
+    def _mu_real(mu_c):
+        return (mu_c[0] if pair_encoded else jnp.real(mu_c))
+
     def real_step(mu_c, idx, W, T, X):
-        mu = jnp.real(mu_c).astype(W.dtype)
+        mu = _mu_real(mu_c).astype(W.dtype)
         if shift_lus is not None:
             V = jnp.real(_cached_solve(idx, W)).astype(W.dtype)
         else:
@@ -377,14 +540,27 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
         return W_new, X_new, jnp.int32(1)
 
     def double_step(mu_c, idx, W, T, X):
-        if shift_lus is not None:
-            V = _cached_solve(idx, W).astype(cdtype)
+        if pair_encoded:
+            # All-real stacked solve of the pair system (adi.jl:196-204
+            # reformulated over ℝ; SURVEY.md §7 item 4): complex dtypes
+            # never enter the while-loop, so this compiles on XLA:TPU.
+            mur = mu_c[0].astype(W.dtype)
+            b = mu_c[1].astype(W.dtype)
+            solver = _wrap_smw_pair(shift_lus.pair_solver(idx, b), A,
+                                    shift_lus.data.dtype)
+            Vst = solver.solve(
+                jnp.concatenate([W, jnp.zeros_like(W)], axis=1))
+            Vr, Vi = Vst[:, :q].astype(W.dtype), Vst[:, q:].astype(W.dtype)
+            delta = mur / b
         else:
-            V = prepare_shifted(E, A, mu_c.astype(cdtype), inner).solve(
-                W.astype(cdtype))
-        mur = jnp.real(mu_c).astype(W.dtype)
-        delta = mur / jnp.imag(mu_c).astype(W.dtype)
-        Vr, Vi = jnp.real(V).astype(W.dtype), jnp.imag(V).astype(W.dtype)
+            if shift_lus is not None:
+                V = _cached_solve(idx, W).astype(cdtype)
+            else:
+                V = prepare_shifted(E, A, mu_c.astype(cdtype), inner).solve(
+                    W.astype(cdtype))
+            mur = jnp.real(mu_c).astype(W.dtype)
+            delta = mur / jnp.imag(mu_c).astype(W.dtype)
+            Vr, Vi = jnp.real(V).astype(W.dtype), jnp.imag(V).astype(W.dtype)
         s2 = math.sqrt(2.0)
         V1 = s2 * Vr + (s2 * delta) * Vi
         V2 = jnp.sqrt(2.0 * delta**2 + 2.0) * Vi
@@ -411,16 +587,30 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
 
         idx = ptr % nshifts
         mu_c = shifts[idx]
-        is_real = jnp.imag(mu_c) == 0.0
-        W, X, used = jax.lax.cond(
-            is_real,
-            lambda args: real_step(*args),
-            lambda args: double_step(*args),
-            (mu_c, idx, W, T0, X),
-        )
+        if pair_encoded:
+            is_real = mu_c[1] == 0.0
+            can_pair = shift_lus is not None and getattr(
+                shift_lus, "et_data", None) is not None
+        else:
+            is_real = jnp.imag(mu_c) == 0.0
+            can_pair = True
+        if pair_encoded and not can_pair:
+            # All-real buffer stored in pair encoding: no pair tables were
+            # built (every Im μ is 0), only the real branch can run.
+            W, X, used = real_step(mu_c, idx, W, T0, X)
+        else:
+            W, X, used = jax.lax.cond(
+                is_real,
+                lambda args: real_step(*args),
+                lambda args: double_step(*args),
+                (mu_c, idx, W, T0, X),
+            )
         since_comp = since_comp + used
         res = _residual_norm(W, T0)
-        return (X, W, i + used, ptr + used, since_comp, res)
+        # Pair encoding: one slot per conjugate pair — the pointer moves
+        # one slot regardless of whether the slot did 1 or 2 iterations.
+        ptr_next = ptr + (1 if pair_encoded else used)
+        return (X, W, i + used, ptr_next, since_comp, res)
 
     res0 = _residual_norm(W0, T0)
     state = (X0, W0, jnp.int32(0), jnp.int32(0), jnp.int32(0), res0)
@@ -560,7 +750,7 @@ def solve_gdre_ros1_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
     tau = float(tstops[0] - tstops[1])
 
     F_base = lin_comb(A, -1.0 / (2.0 * tau), E)
-    shifts = coerce_shifts_for_backend(shifts)
+    shifts = encode_shifts_for_operator(shifts, F_base)
     check_shift_pairing(shifts)
     lus = build_step_shift_solvers(E, F_base, shifts, krylov_cfg)
 
@@ -677,7 +867,7 @@ def solve_gdre_ros2_compiled(prob, *, dt: float, shifts, cfg: CompiledConfig,
     tau = float(tstops[0] - tstops[1])
 
     F_core = lin_comb(scale_op(A, _ROS2_GAMMA * tau), -0.5, E)
-    shifts = coerce_shifts_for_backend(shifts)
+    shifts = encode_shifts_for_operator(shifts, F_core)
     check_shift_pairing(shifts)
     lus = build_step_shift_solvers(E, F_core, shifts, krylov_cfg)
 
@@ -768,7 +958,8 @@ class CappedADI:
     capacity: int = 256
 
 
-def _shift_buffer(sv, dtype, nshifts: int, real_only: bool = False):
+def _shift_buffer(sv, dtype, nshifts: int, real_only: bool = False,
+                  pair_encode: bool = False):
     """Fixed-length device shift buffer (shape-stable across Newton steps):
     real if every shift is real, complex otherwise; padded cyclically.
 
@@ -783,12 +974,20 @@ def _shift_buffer(sv, dtype, nshifts: int, real_only: bool = False):
 
     ``real_only``: substitute each complex shift with the equal-modulus
     real shift ``-|v|`` (still in the open left half-plane, so the ADI
-    stays convergent — only the rate is affected).  Used for the f64
-    mixed-precision path on TPU, where complex128 has no XLA lowering."""
+    stays convergent — only the rate is affected).  Escape-hatch fallback
+    for non-banded operators on TPU (DRE_TPU_REAL_SUBST=1).
+
+    ``pair_encode``: emit the 2-D real ``(nshifts, 2)`` pair encoding —
+    one ``(Re μ, |Im μ|)`` row per unit, no adjacency constraints (the
+    TPU all-real double-step path, `DiaShiftOps.pair_solver`)."""
     arr = np.asarray(sv, np.complex128).ravel()
     rdt = jnp.zeros((), dtype).real.dtype
     if arr.size == 0:
         raise ValueError("empty shift set")
+    if pair_encode:
+        units = _pair_units(arr)
+        out = [units[i % len(units)] for i in range(nshifts)]
+        return jnp.asarray(np.asarray(out, np.float64).astype(rdt))
     if real_only:
         arr = np.where(np.abs(arr.imag) > 0, -np.abs(arr), arr.real + 0j)
     if np.allclose(arr.imag, 0.0):
@@ -825,30 +1024,93 @@ def _shift_buffer(sv, dtype, nshifts: int, real_only: bool = False):
     return jnp.asarray(np.asarray(out).astype(cdt))
 
 
+def _pair_units(arr):
+    """Group a complex shift array into units: real singletons and
+    conjugate pairs (synthesizing the conjugate when it is not adjacent),
+    as ``(a, b)`` tuples with ``b = |Im μ|`` (0 for real)."""
+    units, i = [], 0
+    tol = 1e-12
+    while i < arr.size:
+        v = arr[i]
+        if abs(v.imag) <= tol * max(abs(v.real), 1e-300):
+            units.append((float(v.real), 0.0))
+            i += 1
+        elif i + 1 < arr.size and np.isclose(arr[i + 1], np.conj(v)):
+            units.append((float(v.real), abs(float(v.imag))))
+            i += 2
+        else:
+            units.append((float(v.real), abs(float(v.imag))))
+            i += 1
+    return units
+
+
+def pair_encode_shifts(shifts, rdtype=None):
+    """Encode a complex shift buffer as the 2-D real pair representation:
+    one ``(Re μ, |Im μ|)`` row per unit (real singleton or conjugate
+    pair).  `adi_compiled` consumes pair rows with the all-real stacked
+    double step — the TPU-native complex double step (SURVEY §7 item 4)."""
+    arr = np.asarray(shifts, np.complex128).ravel()
+    if rdtype is None:
+        rdtype = (jnp.finfo(jnp.asarray(shifts).dtype).dtype
+                  if jnp.issubdtype(jnp.asarray(shifts).dtype,
+                                    jnp.complexfloating)
+                  else jnp.asarray(shifts).dtype)
+    return jnp.asarray(np.asarray(_pair_units(arr)).astype(rdtype))
+
+
+def _real_substitute(shifts):
+    arr = np.asarray(shifts)
+    rdt = jnp.finfo(jnp.asarray(shifts).dtype).dtype  # matching real dtype
+    return jnp.asarray(
+        np.where(np.abs(arr.imag) > 0, -np.abs(arr), arr.real).astype(rdt))
+
+
 def coerce_shifts_for_backend(shifts):
-    """Real-substitute complex shift buffers on TPU.
+    """Make a complex shift buffer TPU-compilable.
 
     XLA:TPU never finishes compiling the complex64 ADI while-loop (the
     remote compile hangs at any problem size — measured n=300..5177, v5e
-    round 3), so the compiled path cannot consume complex shifts on chip.
-    Substituting each conjugate pair with the equal-modulus real shift
-    ``-|μ|`` keeps every shift in the open left half-plane — the ADI stays
-    convergent and the residual tolerance is unaffected; only the
-    convergence *rate* on strongly nonsymmetric pencils degrades (for the
-    symmetric Rail/SteelProfile family the optimal Penzl shifts are real
-    anyway).  CPU keeps exact complex arithmetic (double-step
-    recombination, adi.jl:181-195)."""
+    round 3), so the compiled path cannot consume complex dtypes on chip.
+    Default on-chip route: **pair encoding** — the complex double step
+    re-expressed as an all-real stacked 2n system (`pair_encode_shifts`,
+    `DiaShiftOps.pair_solver`), preserving the reference's exact double
+    step semantics (adi.jl:181-225) without complex arithmetic.  With
+    ``DRE_TPU_REAL_SUBST=1``, fall back to substituting each conjugate
+    pair with the equal-modulus real shift ``-|μ|`` (still convergent —
+    only the rate on nonsymmetric pencils degrades; kept for measuring
+    that penalty and as an escape hatch).  CPU keeps exact complex
+    arithmetic (double-step recombination, adi.jl:181-195)."""
     shifts = jnp.asarray(shifts)
-    if not jnp.issubdtype(shifts.dtype, jnp.complexfloating):
+    if shifts.ndim == 2 or not jnp.issubdtype(shifts.dtype,
+                                              jnp.complexfloating):
         return shifts
     from ..ops.dia import _on_tpu
 
     if not _on_tpu():
         return shifts
-    arr = np.asarray(shifts)
-    rdt = jnp.finfo(shifts.dtype).dtype  # matching real dtype
-    return jnp.asarray(
-        np.where(np.abs(arr.imag) > 0, -np.abs(arr), arr.real).astype(rdt))
+    import os as _os
+
+    if _os.environ.get("DRE_TPU_REAL_SUBST", "0") == "1":
+        return _real_substitute(shifts)
+    return pair_encode_shifts(shifts)
+
+
+def encode_shifts_for_operator(shifts, core):
+    """Backend- and operator-aware shift encoding: the pair encoding needs
+    the banded (`DiaOp`) solver machinery; dense `ShiftLUs` cores on chip
+    keep the real-substitution fallback."""
+    from ..ops.dia import DiaOp, _on_tpu
+
+    shifts = jnp.asarray(shifts)
+    if shifts.ndim == 2 or not jnp.issubdtype(shifts.dtype,
+                                              jnp.complexfloating):
+        return shifts
+    if not _on_tpu():
+        return shifts
+    base = core.A if isinstance(core, LowRankUpdateOp) else core
+    if isinstance(base, DiaOp):
+        return coerce_shifts_for_backend(shifts)
+    return _real_substitute(shifts)
 
 
 def check_shift_pairing(shifts) -> None:
@@ -856,9 +1118,11 @@ def check_shift_pairing(shifts) -> None:
     way `adi_compiled` does (real → +1, complex → +2 with the conjugate
     adjacent) must land exactly on the buffer end.  Catches split or
     wrap-straddling conjugate pairs in host-constructed buffers (the host
-    ADI asserts the same invariant, adi.py; reference adi.jl:181-195)."""
+    ADI asserts the same invariant, adi.py; reference adi.jl:181-195).
+    Pair-encoded (2-D) buffers hold one whole unit per slot and cannot
+    split pairs by construction."""
     arr = np.asarray(shifts)
-    if not np.iscomplexobj(arr):
+    if arr.ndim == 2 or not np.iscomplexobj(arr):
         return
     i = 0
     while i < arr.size:
@@ -1005,12 +1269,18 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
     per_step = isinstance(shifts, PerStepHeuristic)
     block_cache = {}
     # The complex64 compiled-ADI while-loop never finishes compiling on
-    # XLA:TPU (and complex128 has no lowering at all): on chip, substitute
-    # complex shift pairs with equal-modulus real shifts for ANY dtype
-    # (see `coerce_shifts_for_backend`; ADI stays convergent, only the
-    # rate changes).  CPU keeps exact complex arithmetic.
-    from ..ops.dia import _on_tpu
-    real_shifts_only = _on_tpu()
+    # XLA:TPU (and complex128 has no lowering at all): on chip, complex
+    # shift pairs go through the all-real pair encoding on banded (DiaOp)
+    # pencils — the stacked double step (`DiaShiftOps.pair_solver`) — and
+    # fall back to equal-modulus real substitution otherwise (or with
+    # DRE_TPU_REAL_SUBST=1).  CPU keeps exact complex arithmetic.
+    import os as _os
+
+    from ..ops.dia import DiaOp, _on_tpu
+    _base_A = A.A if isinstance(A, LowRankUpdateOp) else A
+    pair_shifts = (_on_tpu() and isinstance(_base_A, DiaOp)
+                   and _os.environ.get("DRE_TPU_REAL_SUBST", "0") != "1")
+    real_shifts_only = _on_tpu() and not pair_shifts
 
     def _krylov_for(shift_buf):
         # Mixed-precision route: default Krylov config for the shift buffer
@@ -1030,7 +1300,7 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         shifts = None
         shift_lu_cache = {}  # open-loop splu(E)/splu(A) shared by rebuilds
     else:
-        shifts = coerce_shifts_for_backend(shifts)
+        shifts = encode_shifts_for_operator(shifts, A)
         check_shift_pairing(shifts)
         lus = build_step_shift_solvers(E, A, shifts, _krylov_for(shifts),
                                        block_cache=block_cache)
@@ -1112,6 +1382,9 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             thetas.append(theta)
             just_staged = True
             res_norm_prev = float("inf")
+            # The θ jump rescales B_θ, so the closed-loop pencil moved even
+            # though K did not: mark the shift set stale.
+            K_at_shifts = None
             continue
         if newton_steps >= maxiters:
             notify(observer, "gare_failed")
@@ -1120,26 +1393,6 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
                 f"{res_norm / sigma:g} abstol={abstol / sigma:g} "
                 f"maxiters={maxiters}")
             break
-
-        # Rebuild the closed-loop shifts only when the feedback has moved
-        # (amortizes the host Arnoldi + shifted-core factorizations across
-        # late Newton steps where K barely changes).
-        if per_step and (
-            K_at_shifts is None
-            or K_at_shifts.shape != K.shape
-            or float(jnp.linalg.norm(K - K_at_shifts))
-            > shift_reuse_tol * max(float(jnp.linalg.norm(K)), 1e-300)
-        ):
-            sv = heuristic_shifts_host(
-                E_sp, A_sp, strat.nshifts, strat.kp, strat.km,
-                B=np.asarray(Bt, np.float64), K=np.asarray(K, np.float64),
-                lu_cache=shift_lu_cache)
-            shifts = _shift_buffer(sv, dtype, strat.nshifts,
-                                   real_only=real_shifts_only)
-            lus = build_step_shift_solvers(E, A, shifts, _krylov_for(shifts),
-                                           block_cache=block_cache)
-            K_at_shifts = K
-            shift_rebuilds += 1
 
         if inexact:
             # Scale-invariant forcing (Eisenstat–Walker choice 2,
@@ -1150,13 +1403,53 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             # residual is O(σ‖Q‖) for many steps, pinning η at 0.1 and
             # dragging out the pre-asymptotic phase.
             if res_norm_prev == float("inf"):
+                ratio = 1.0
                 eta = eta_cap
             else:
                 ratio = res_norm / max(res_norm_prev, 1e-300)
                 eta = min(eta_cap, 0.9 * ratio * ratio)
             inner_abstol = max(eta * res_norm, inner_reltol * res_norm)
         else:
+            ratio = (1.0 if res_norm_prev == float("inf")
+                     else res_norm / max(res_norm_prev, 1e-300))
+            eta = None
             inner_abstol = inner_reltol * res_norm
+
+        # Rebuild the closed-loop shifts adaptively (VERDICT r3 weak #3:
+        # a flat reuse tolerance rebuilt 16-17× per 20-step solve because
+        # K moves >30% on almost every pre-asymptotic step).  Policy:
+        #   * far from convergence the inner solves are LOOSE (η at its
+        #     cap), so any stable shift set contracts enough — reuse the
+        #     buffer until the feedback has moved by ~‖K‖ itself;
+        #   * rebuild on slow progress (ratio > 0.5) with a stale buffer —
+        #     the self-correcting guard for when stale shifts actually hurt;
+        #   * in the asymptotic phase (η below cap: steady quadratic-ish
+        #     progress, inner tolerances tightening) fall back to the tight
+        #     `shift_reuse_tol` so the final steps get fresh shifts.
+        if per_step:
+            if K_at_shifts is None or K_at_shifts.shape != K.shape:
+                stale_rel = float("inf")
+            else:
+                stale_rel = float(jnp.linalg.norm(K - K_at_shifts)) / max(
+                    float(jnp.linalg.norm(K)), 1e-300)
+            asymptotic = eta is not None and eta < 0.99 * eta_cap
+            slow = ratio > 0.5
+            if (stale_rel == float("inf") or stale_rel > 1.0
+                    or (stale_rel > shift_reuse_tol
+                        and (slow or asymptotic))):
+                sv = heuristic_shifts_host(
+                    E_sp, A_sp, strat.nshifts, strat.kp, strat.km,
+                    B=np.asarray(Bt, np.float64),
+                    K=np.asarray(K, np.float64),
+                    lu_cache=shift_lu_cache)
+                shifts = _shift_buffer(sv, dtype, strat.nshifts,
+                                       real_only=real_shifts_only,
+                                       pair_encode=pair_shifts)
+                lus = build_step_shift_solvers(E, A, shifts,
+                                               _krylov_for(shifts),
+                                               block_cache=block_cache)
+                K_at_shifts = K
+                shift_rebuilds += 1
 
         X_prev, res_norm_prev = X, res_norm
         just_staged = False

@@ -9,8 +9,11 @@ TPU-native: the time horizon is split into ``S`` slabs, the expensive fine
 propagator (the fully-compiled LRSIF Ros1 step, `ros1_step_compiled`) runs
 **batched over all slabs at once** — `jax.vmap` over the slab axis inside
 one jit — and the slab axis is sharded over a `jax.sharding.Mesh`, so each
-device integrates its own time slab with zero collectives (the slabs are
-independent; XLA partitions the batch dimension).  The cheap coarse
+device integrates its own time slab with no collectives in the propagation
+itself (the slabs are independent; XLA partitions the batch dimension;
+only the scalar convergence diagnostics reduce across the slab axis, and
+the batched ADI while-loop runs until the slowest slab's iteration count —
+masked, so results are unaffected).  The cheap coarse
 propagator (one Ros1 step per slab, ``τ_coarse = n_fine·τ_fine``) runs
 serially and stitches the slabs together with the classic parareal
 correction
@@ -90,6 +93,7 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
                         abstol: float | None = None,
                         coarse_shifts=None,
                         mesh=None, axis_name: str = "slab",
+                        save_state: bool = False,
                         krylov_cfg=None, observer=None):
     """Parareal LRSIF GDRE sweep (fine propagator = compiled Ros1).
 
@@ -97,14 +101,21 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
     ``mesh``: optional `jax.sharding.Mesh` with an axis named ``axis_name``
     — the slab batch axis of the fine sweep is sharded over it (slab count
     must be divisible by the axis size).  Returns a `DRESolution` whose
-    ``K``/``t`` cover every fine step and whose ``X`` holds the slab
-    boundary states, plus convergence metadata in ``sol.parareal_info``.
+    ``K``/``t`` cover every fine step.  With ``save_state=True`` the ``X``
+    list holds the full fine-state trajectory (one state per ``t`` entry,
+    from the final fine sweep); otherwise ``X`` holds the ``slabs+1`` slab
+    boundary states, whose times are ``sol.parareal_info["boundary_times"]``.
+    Convergence metadata lives in ``sol.parareal_info``; ``sol.adi_iters``/
+    ``sol.adi_res_max`` describe the **final** fine sweep (the returned
+    trajectory) like the serial drivers, while cumulative totals over all
+    parareal iterations are in ``parareal_info``.
     """
     from ..ops.operators import lin_comb
+    from ..utils.callbacks import notify
     from .compiled import (
         build_step_shift_solvers,
         check_shift_pairing,
-        coerce_shifts_for_backend,
+        encode_shifts_for_operator,
         ros1_step_compiled,
     )
     from .problems import DRESolution
@@ -130,6 +141,10 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
     tau_f = float(tstops[0] - tstops[1])
     tau_c = n_fine * tau_f
     if mesh is not None:
+        if axis_name not in mesh.axis_names:
+            raise ValueError(
+                f"mesh has no axis named '{axis_name}' "
+                f"(axes: {tuple(mesh.axis_names)}); pass axis_name=")
         ax = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
         if S % ax:
             raise ValueError(f"slabs={S} not divisible by mesh axis "
@@ -141,12 +156,12 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
                        * jnp.linalg.norm(C, "fro"))
     abstol_d = jnp.asarray(abstol, B.dtype)
 
-    shifts = coerce_shifts_for_backend(shifts)
+    core_f = lin_comb(A, -1.0 / (2.0 * tau_f), E)
+    shifts = encode_shifts_for_operator(shifts, core_f)
     check_shift_pairing(shifts)
     cshifts = (shifts if coarse_shifts is None
-               else coerce_shifts_for_backend(coarse_shifts))
-    lus_f = build_step_shift_solvers(
-        E, lin_comb(A, -1.0 / (2.0 * tau_f), E), shifts, krylov_cfg)
+               else encode_shifts_for_operator(coarse_shifts, core_f))
+    lus_f = build_step_shift_solvers(E, core_f, shifts, krylov_cfg)
     lus_c = build_step_shift_solvers(
         E, lin_comb(A, -1.0 / (2.0 * tau_c), E), cshifts, krylov_cfg)
     tau_f_d = jnp.asarray(tau_f, B.dtype)
@@ -162,19 +177,26 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
                                          abstol_d, cfg, lus_c)
         return Xn
 
-    @jax.jit
-    def _fine_sweep(Xb):
+    @partial(jax.jit, static_argnames=("with_states",))
+    def _fine_sweep(Xb, with_states: bool = False):
         """All slabs advanced n_fine steps; per-step feedbacks collected.
 
         `lax.scan` over fine steps of a `vmap` over slabs: one compiled
-        program, slab axis partitionable by the mesh (no cross-slab ops)."""
+        program, slab axis partitionable by the mesh (no cross-slab ops).
+        ``with_states``: also stack the per-step states (save_state)."""
 
         def body(Xb, _):
             Xb, Kb, it, res = jax.vmap(_fine_step)(Xb)
-            return Xb, (Kb, it, res)
+            out = (Xb, Kb, it, res) if with_states else (Kb, it, res)
+            return Xb, out
 
-        Xb, (Ks, its, ress) = jax.lax.scan(body, Xb, None, length=n_fine)
-        return Xb, Ks, jnp.sum(its), jnp.max(ress)
+        Xb, outs = jax.lax.scan(body, Xb, None, length=n_fine)
+        if with_states:
+            Xs, Ks, its, ress = outs
+        else:
+            (Ks, its, ress), Xs = outs, None
+        return Xb, Xs, Ks, jnp.sum(its), jnp.max(ress)
+
 
     sharding = None
     if mesh is not None:
@@ -191,6 +213,7 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
                     sharding.mesh, type(sharding.spec)())), Xb)
 
     X0 = lr_with_capacity(lr_compress(prob.X0, r_out=prob.X0.r), capacity)
+    notify(observer, "gdre_start", prob, alg)
 
     # Initialization: serial coarse sweep (parareal iteration 0).
     U = [X0]
@@ -200,17 +223,32 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
         Gold.append(g)
         U.append(g)
 
+    # Two host syncs per parareal iteration (the sweep stats fetch and the
+    # batched stopping-test fetch) instead of S+2 interleaved blocking
+    # fetches (ADVICE r3).  The stats fetch doubles as a completion barrier
+    # for the sharded sweep: overlapping its in-flight all-reduce with the
+    # subsequently dispatched single-device coarse/combine kernels
+    # deadlocks the CPU collective executor (thread-pool starvation,
+    # xla::cpu::InProcessCommunicator::AllReduce AwaitAndLogIfStuck).
     deltas = []
-    fine_iters_total = 0
-    res_max = 0.0
+    iters_sweeps = 0
+    res_max_sweeps = 0.0
     it_done = 0
+    dev0 = jax.devices()[0]
     for k in range(K_max):
         Xb0 = _put(_tree_stack(U[:S]))
-        Fb, _, its, rmax = _fine_sweep(Xb0)
-        fine_iters_total += int(its)
-        res_max = max(res_max, float(rmax))
+        Fb, _, _, its, rmax = _fine_sweep(Xb0)
+        if mesh is not None:
+            # Gather the slab-sharded sweep output to one device before
+            # the serial correction: the per-slab coarse/combine kernels
+            # must not become mixed-device programs — concurrent
+            # cross-device programs deadlock the CPU in-process
+            # collective executor (AwaitAndLogIfStuck in AllReduce).
+            Fb = jax.device_put(Fb, dev0)
+        its, rmax = jax.device_get((its, rmax))
+        iters_sweeps += int(its)
+        res_max_sweeps = max(res_max_sweeps, float(rmax))
         Unew = [X0]
-        delta_max = 0.0
         for s in range(S):
             Fs = _tree_index(Fb, s)
             if s < k + 1:
@@ -221,24 +259,28 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
                 Gnew = _coarse_step(Unew[s])
                 Us1 = _parareal_combine(Gnew, Fs, Gold[s], capacity)
                 Gold[s] = Gnew
-            delta_max = max(delta_max, float(
-                _boundary_delta(Us1, U[s + 1], capacity)))
             Unew.append(Us1)
+        # Dispatch all S delta kernels first, then fetch once — one host
+        # sync per parareal iteration for the stopping test instead of S+2
+        # interleaved blocking fetches (ADVICE r3).  The per-slab kernels
+        # stay separate because the slab states live on different shards
+        # (an eager cross-device stack deadlocks the CPU collective path).
+        ds = [_boundary_delta(Unew[s + 1], U[s + 1], capacity)
+              for s in range(S)]
+        delta_max = max(float(d) for d in jax.device_get(ds))
         U = Unew
         deltas.append(delta_max)
         it_done = k + 1
-        if observer is not None:
-            # One event per parareal iteration (coarse+fine sweep pair).
-            observer.observe_gdre_step(float(tstops[-1]), U[-1], None)
+        # One event per parareal iteration (coarse+fine sweep pair).
+        notify(observer, "gdre_step", float(tstops[-1]), U[-1], None)
         if delta_max <= alg.reltol * float(lr_norm(U[-1])):
             break
 
     # Final fine sweep from the converged boundaries: yields the full
     # K(t) trajectory of the parareal solution (and its GALE residuals).
-    Fb, Ks, its, rmax = _fine_sweep(_put(_tree_stack(U[:S])))
-    fine_iters_total += int(its)
-    res_max = max(res_max, float(rmax))
-    U = [X0] + [_tree_index(Fb, s) for s in range(S)]
+    Fb, Xs_st, Ks, its_f, rmax_f = _fine_sweep(_put(_tree_stack(U[:S])),
+                                               with_states=save_state)
+    boundaries = [X0] + [_tree_index(Fb, s) for s in range(S)]
 
     L0, D0 = X0.L, X0.D
     K0 = ((B.T @ L0) @ D0) @ E.tmm(L0).T
@@ -246,13 +288,29 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
     Ks = jnp.swapaxes(Ks, 0, 1).reshape((nsteps,) + Ks.shape[2:])
     K_list = [K0] + [Ks[i] for i in range(nsteps)]
 
-    sol = DRESolution(U, K_list, tstops)
-    sol.adi_iters = fine_iters_total
-    sol.adi_res_max = res_max
+    if save_state:
+        # (n_fine, S, …) stacked states → time-ordered full trajectory,
+        # aligned 1:1 with ``tstops`` like the serial save_state drivers.
+        Xs = [X0] + [
+            jax.tree.map(lambda a, i=i, s=s: a[i, s], Xs_st)
+            for s in range(S) for i in range(n_fine)
+        ]
+    else:
+        Xs = boundaries
+
+    sol = DRESolution(Xs, K_list, tstops)
+    # Like the serial drivers: iters/res of the *returned* trajectory
+    # (= the final fine sweep); cumulative totals in parareal_info.
+    sol.adi_iters = int(its_f)
+    sol.adi_res_max = float(rmax_f)
     sol.parareal_info = {
         "iterations": it_done,
         "deltas": deltas,
         "slabs": S,
         "n_fine": n_fine,
+        "boundary_times": [float(tstops[s * n_fine]) for s in range(S + 1)],
+        "fine_iters_total": int(iters_sweeps) + int(its_f),
+        "res_max_all_sweeps": max(float(res_max_sweeps), float(rmax_f)),
     }
+    notify(observer, "gdre_done")
     return sol

@@ -137,44 +137,84 @@ class SMWSolver:
             return AinvB - self.AinvU @ t
 
 
+def _block_apply(inv: jax.Array, x: jax.Array) -> jax.Array:
+    """Apply ``(nb, bs, bs)`` block inverses to column-major ``(n, q)``."""
+    nb, bs, _ = inv.shape
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n, q = x.shape
+    xp = jnp.pad(x, ((0, nb * bs - n), (0, 0))).reshape(nb, bs, q)
+    y = jnp.einsum("nab,nbq->naq", inv, xp, preferred_element_type=x.dtype)
+    y = y.reshape(nb * bs, q)[:n]
+    return y[:, 0] if squeeze else y
+
+
+def _block_apply_t(inv: jax.Array, xt: jax.Array) -> jax.Array:
+    """Apply ``(nb, bs, bs)`` block inverses in lane-major ``(q, N)``."""
+    q, N = xt.shape
+    nb, bs, _ = inv.shape
+    xp = jnp.pad(xt, ((0, 0), (0, nb * bs - N)))
+    xb = xp.reshape(q, nb, bs)
+    y = jnp.einsum("nab,qnb->qna", inv, xb, preferred_element_type=xt.dtype)
+    return y.reshape(q, nb * bs)[:, :N]
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class PairBlockPrec:
+    """Block-Jacobi preconditioner of a *complex* shifted operator in
+    stacked-real form: ``M⁻¹ = P + i·Q`` applied to lane-stacked real/imag
+    states (see `ops.dia.DiaPairOp`).  ``re``/``im`` hold the (nb, bs, bs)
+    real and imaginary parts of the complex block inverses."""
+
+    re: jax.Array
+    im: jax.Array
+
+    def apply_t(self, xt: jax.Array) -> jax.Array:
+        q = xt.shape[0] // 2
+        xr, xi = xt[:q], xt[q:]
+        return jnp.concatenate([
+            _block_apply_t(self.re, xr) - _block_apply_t(self.im, xi),
+            _block_apply_t(self.im, xr) + _block_apply_t(self.re, xi),
+        ])
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        q = x.shape[1] // 2
+        xr, xi = x[:, :q], x[:, q:]
+        return jnp.concatenate([
+            _block_apply(self.re, xr) - _block_apply(self.im, xi),
+            _block_apply(self.im, xr) + _block_apply(self.re, xi),
+        ], axis=1)
+
+
 @register_pytree_dataclass(meta_fields=("cfg",))
 @dataclasses.dataclass(frozen=True)
 class KrylovSolver:
     op: object
-    prec: object  # Jacobi diagonal (n,) or block inverses (nb, bs, bs)
+    prec: object  # Jacobi diag (n,), block inverses (nb, bs, bs), or
+    #               a PairBlockPrec (stacked-real complex blocks)
     cfg: Krylov
 
     def _apply_prec(self, x: jax.Array) -> jax.Array:
+        if hasattr(self.prec, "apply"):
+            return self.prec.apply(x)
         if self.prec.ndim == 3:
             # Explicit block inverses applied as one batched matmul — MXU
             # work instead of the sequential batched triangular solves an
             # (lu, piv) representation would cost *per Krylov iteration*
             # (the inversion itself happens once, at `prepare` time).
-            inv = self.prec
-            nb, bs, _ = inv.shape
-            squeeze = x.ndim == 1
-            if squeeze:
-                x = x[:, None]
-            n, q = x.shape
-            xp = jnp.pad(x, ((0, nb * bs - n), (0, 0))).reshape(nb, bs, q)
-            y = jnp.einsum("nab,nbq->naq", inv, xp,
-                           preferred_element_type=x.dtype)
-            y = y.reshape(nb * bs, q)[:n]
-            return y[:, 0] if squeeze else y
+            return _block_apply(self.prec, x)
         pinv = 1.0 / self.prec
         return pinv[:, None] * x if x.ndim == 2 else pinv * x
 
     def _apply_prec_t(self, xt: jax.Array) -> jax.Array:
         """Preconditioner in lane-major ``(q, N)`` layout (see `mmT`)."""
+        if hasattr(self.prec, "apply_t"):
+            return self.prec.apply_t(xt)
         q, N = xt.shape
         if self.prec.ndim == 3:
-            inv = self.prec
-            nb, bs, _ = inv.shape
-            xp = jnp.pad(xt, ((0, 0), (0, nb * bs - N)))
-            xb = xp.reshape(q, nb, bs)
-            y = jnp.einsum("nab,qnb->qna", inv, xb,
-                           preferred_element_type=xt.dtype)
-            return y.reshape(q, nb * bs)[:, :N]
+            return _block_apply_t(self.prec, xt)
         pinv = 1.0 / self.prec
         if pinv.shape[0] < N:  # diag is length n; padding rows act as I
             pinv = jnp.concatenate(
@@ -224,6 +264,40 @@ class KrylovSolver:
         if lane_major:
             x = x[:, :n_rows].T
         return x * scale
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class PairSMWSolver:
+    """SMW correction for a *complex-shifted* closed-loop coefficient in
+    stacked-real form: solves ``(M + α⁻¹UV)X = B`` where ``M`` is the
+    complex shifted operator represented by a stacked-real ``base`` solver
+    (`ops.dia.DiaPairOp` system) and ``U``/``V``/``α`` are real.
+
+    All small dense algebra runs on the real/imag column blocks:
+    ``A⁻¹U = P + iQ`` (one extra stacked solve at wrap time), Schur
+    complement ``S = αI + V(P + iQ)`` factored as the real 2m×2m block
+    ``[[Sr, −Si], [Si, Sr]]``.  Interfaces match `SMWSolver.solve` on
+    ``(n, 2q)`` column-stacked operands."""
+
+    base: object  # stacked-real pair solver for M
+    AinvU_re: jax.Array  # (n, m)
+    AinvU_im: jax.Array  # (n, m)
+    V: jax.Array  # (m, n)
+    schur: object  # prepared solver for the real 2m×2m block form of S
+
+    def solve(self, B: jax.Array) -> jax.Array:
+        q = B.shape[1] // 2
+        AinvB = self.base.solve(B)
+        Rr, Ri = AinvB[:, :q], AinvB[:, q:]
+        t = self.schur.solve(
+            jnp.concatenate([self.V @ Rr, self.V @ Ri], axis=0))
+        m = self.V.shape[0]
+        tr, ti = t[:m], t[m:]
+        return jnp.concatenate([
+            Rr - (self.AinvU_re @ tr - self.AinvU_im @ ti),
+            Ri - (self.AinvU_re @ ti + self.AinvU_im @ tr),
+        ], axis=1)
 
 
 @register_pytree_dataclass(meta_fields=("iters",))

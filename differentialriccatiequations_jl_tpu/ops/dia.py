@@ -374,7 +374,7 @@ def _dia_mm_pallas_t(data, offsets, Xt, Z=None, coeffs=None):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(ab)
     in_specs += [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # Xp stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # Xp stays in HBM
         pl.BlockSpec((ndiag, BN), lambda i: (0, i)),
     ]
     operands += [Xp, Wp]
@@ -561,3 +561,58 @@ def dia_scale(A: DiaOp, c) -> DiaOp:
 def shifted_dia(E: DiaOp, A: DiaOp, mu) -> DiaOp:
     """Operator ``Aᵀ + μEᵀ`` as a `DiaOp` (fused data combine)."""
     return dia_lin_comb(A.adjoint(), mu, E.adjoint())
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiaPairOp:
+    """All-real stacked form of the complex shifted operator ``F + i·b·Eᵀ``
+    (``F = Aᵀ + a·Eᵀ``, shift ``μ = a + b·i``) — the TPU-native ADI double
+    step (SURVEY.md §7 item 4; reference complex double step
+    adi.jl:181-225).
+
+    XLA:TPU never finishes compiling the complex64 ADI while-loop, so the
+    single complex solve of the double step is reformulated over ℝ: the
+    complex system ``(F + i·bEᵀ)(Vr + i·Vi) = W`` is the real 2n block
+    system ``[[F, −bEᵀ], [bEᵀ, F]] [Vr; Vi] = [W; 0]``.  States stay in the
+    lane-major Krylov layout with real and imaginary parts **stacked along
+    the lane (q) axis** — ``(2q, N)`` — so each application is four real
+    DIA SpMMs (identical FLOPs/HBM traffic to one complex SpMM) and the
+    while-loop stays all-real.
+    """
+
+    F: DiaOp  # Aᵀ + a·Eᵀ (real part of the shifted operator)
+    Et: DiaOp  # Eᵀ
+    b: jax.Array  # imaginary part of the shift (scalar)
+
+    @property
+    def dtype(self):
+        return self.F.dtype
+
+    @property
+    def N(self) -> int:
+        return self.F.N
+
+    @property
+    def shape(self):
+        return (2 * self.F.n, 2 * self.F.n)
+
+    def mmT(self, Xt: jax.Array) -> jax.Array:
+        q = Xt.shape[0] // 2
+        Xr, Xi = Xt[:q], Xt[q:]
+        b = jnp.asarray(self.b, Xt.dtype)
+        return jnp.concatenate([
+            self.F.mmT(Xr) - b * self.Et.mmT(Xi),
+            b * self.Et.mmT(Xr) + self.F.mmT(Xi),
+        ])
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        """Column-stacked form: ``X`` is ``(n, 2q)`` with real | imag
+        column blocks (used by iterative refinement, blocklinear.py)."""
+        q = X.shape[1] // 2
+        Xr, Xi = X[:, :q], X[:, q:]
+        b = jnp.asarray(self.b, X.dtype)
+        return jnp.concatenate([
+            self.F.mm(Xr) - b * self.Et.mm(Xi),
+            b * self.Et.mm(Xr) + self.F.mm(Xi),
+        ], axis=1)

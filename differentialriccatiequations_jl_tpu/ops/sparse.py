@@ -72,7 +72,7 @@ class BellOp:
     @property
     def nnz(self) -> int:
         """Stored entries (dense blocks) — the nnz/s throughput unit."""
-        return int(self.data.size // (1 if self.data.ndim == 4 else 1))
+        return int(self.data.size)
 
     def diag(self) -> jax.Array:
         return self.diag_
@@ -231,7 +231,7 @@ def _bell_mm_pallas(cols, data, X):
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # Xᵀ stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # Xᵀ stays in HBM
                 pl.BlockSpec((1, K, bs, bs), lambda i, c: (i, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((qt, bs), lambda i, c: (0, i)),

@@ -443,10 +443,10 @@ def test_adi_compiled_odd_complex_buffer_conv_diff():
 
 
 def test_coerce_shifts_for_backend(monkeypatch):
-    """On TPU, complex shift buffers are substituted with equal-modulus real
-    shifts (the complex64 compiled-ADI loop never finishes compiling on
-    XLA:TPU); on CPU they pass through untouched."""
-    import differentialriccatiequations_jl_tpu.models.compiled as comp
+    """On TPU, complex shift buffers become the all-real pair encoding by
+    default (stacked double step; the complex64 compiled-ADI loop never
+    finishes compiling on XLA:TPU), or equal-modulus real substitution
+    with DRE_TPU_REAL_SUBST=1; on CPU they pass through untouched."""
     from differentialriccatiequations_jl_tpu.models.compiled import (
         coerce_shifts_for_backend)
 
@@ -459,10 +459,17 @@ def test_coerce_shifts_for_backend(monkeypatch):
     monkeypatch.setattr(dia_mod, "_on_tpu", lambda: True)
     out_tpu = coerce_shifts_for_backend(sv)
     assert not jnp.iscomplexobj(out_tpu)
+    assert out_tpu.ndim == 2  # pair encoding: one (Re, |Im|) row per unit
+    np.testing.assert_allclose(np.asarray(out_tpu),
+                               [[-1.0, 0.5], [-2.0, 0.0]])
+
+    monkeypatch.setenv("DRE_TPU_REAL_SUBST", "1")
+    out_sub = coerce_shifts_for_backend(sv)
+    assert out_sub.ndim == 1 and not jnp.iscomplexobj(out_sub)
     np.testing.assert_allclose(
-        np.asarray(out_tpu),
+        np.asarray(out_sub),
         [-np.abs(-1.0 + 0.5j), -np.abs(-1.0 - 0.5j), -2.0])
-    assert np.all(np.asarray(out_tpu) < 0)  # stays in the open left half-plane
+    assert np.all(np.asarray(out_sub) < 0)  # stays in the open left half-plane
 
     # real buffers pass through on every backend
     rv = jnp.asarray([-1.0, -2.0])

@@ -1,0 +1,172 @@
+"""All-real (pair-encoded) ADI double step — the TPU-native form of the
+reference's complex double step (/root/reference/src/lyapunov/adi.jl:181-225;
+SURVEY.md §7 item 4; VERDICT r3 missing #3).
+
+The complex solve ``(Aᵀ + μEᵀ)V = W`` of a conjugate pair ``μ = a ± b·i`` is
+reformulated as the real 2n block system ``[[F, −bEᵀ], [bEᵀ, F]]`` with
+``F = Aᵀ + aEᵀ`` (`ops.dia.DiaPairOp`), so the compiled ADI while-loop stays
+free of complex dtypes (XLA:TPU never finishes compiling the complex64
+while-loop).  These tests validate the pair path on the CPU backend against
+(a) the exact complex path and (b) the dense Lyapunov oracle, on the
+nonsymmetric conv-diff pencil whose Penzl shifts genuinely come in pairs,
+and (c) measure the iteration-count advantage over the old equal-modulus
+real-substitution fallback.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import differentialriccatiequations_jl_tpu as dre
+from differentialriccatiequations_jl_tpu import GALEProblem, lowrank
+from differentialriccatiequations_jl_tpu.lowrank import lr_to_dense, lr_zero
+from differentialriccatiequations_jl_tpu.models import residual, solve_gale_host
+from differentialriccatiequations_jl_tpu.models.compiled import (
+    CompiledConfig,
+    _real_substitute,
+    _shift_buffer,
+    adi_compiled,
+    build_dia_shift_ops,
+    pair_encode_shifts,
+)
+from differentialriccatiequations_jl_tpu.models.shifts import (
+    heuristic_shifts_host,
+)
+from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+from differentialriccatiequations_jl_tpu.utils.testmat import (
+    conv_diff_surrogate,
+    random_rhs_lowrank,
+)
+
+
+def _conv_diff_setup(n=300, nshifts=8):
+    E, A, B, C = conv_diff_surrogate(n)
+    E_op, A_op = dia_pencil(E, A)
+    sv = np.asarray(heuristic_shifts_host(E, A, nshifts, 14, 14))
+    assert np.iscomplexobj(sv) and np.any(np.abs(sv.imag) > 0)
+    G, S = random_rhs_lowrank(n, 3, seed=11)
+    Clr = lowrank(G, S)
+    return E, A, E_op, A_op, sv, G, S, Clr
+
+
+def test_pair_encode_shifts_roundtrip():
+    sv = np.asarray([-1.0 + 0.5j, -1.0 - 0.5j, -2.0 + 0j, -0.3 + 2.0j,
+                     -0.3 - 2.0j])
+    ab = np.asarray(pair_encode_shifts(sv))
+    assert ab.shape == (3, 2)
+    np.testing.assert_allclose(ab, [[-1.0, 0.5], [-2.0, 0.0], [-0.3, 2.0]])
+    # _shift_buffer pair mode: one slot per unit, cyclic fill.
+    buf = np.asarray(_shift_buffer(sv, jnp.float64, 5, pair_encode=True))
+    assert buf.shape == (5, 2)
+    np.testing.assert_allclose(buf[:3], ab)
+    np.testing.assert_allclose(buf[3:], ab[:2])
+
+
+def test_pair_adi_matches_complex_and_oracle():
+    """Pair-encoded compiled ADI ≡ complex compiled ADI ≡ dense oracle on
+    the conv-diff GALE (open loop)."""
+    E, A, E_op, A_op, sv, G, S, Clr = _conv_diff_setup()
+    n, q = E.shape[0], 3
+    cfg = CompiledConfig(maxiters=80, compression_interval=10, r_res=q)
+    abstol = 1e-11 * float(dre.lr_norm(Clr))
+    W0, T0 = jnp.asarray(G), jnp.asarray(S)
+
+    # Complex path (CPU): per-shift complex DIA data + BiCGStab.
+    shifts_c = _shift_buffer(sv, jnp.float64, len(sv))
+    assert jnp.iscomplexobj(shifts_c)
+    lus_c = build_dia_shift_ops(E_op, A_op, shifts_c)
+    Xc, _, it_c, res_c = adi_compiled(
+        E_op, A_op, W0, T0, jnp.int32(q), lr_zero(n, 64, jnp.float64),
+        shifts_c, abstol, cfg, lus_c)
+
+    # Pair-encoded path (the TPU encoding, here exercised on CPU).
+    shifts_p = _shift_buffer(sv, jnp.float64, len(sv), pair_encode=True)
+    assert shifts_p.ndim == 2 and not jnp.iscomplexobj(shifts_p)
+    lus_p = build_dia_shift_ops(E_op, A_op, shifts_p)
+    assert lus_p.et_data is not None  # pair tables built
+    Xp, _, it_p, res_p = adi_compiled(
+        E_op, A_op, W0, T0, jnp.int32(q), lr_zero(n, 64, jnp.float64),
+        shifts_p, abstol, cfg, lus_p)
+
+    assert float(res_p) <= abstol
+    # Same double-step math ⇒ same iteration count and same iterate.
+    assert int(it_p) == int(it_c)
+    prob = GALEProblem(E_op, A_op, Clr)
+    rel_p = float(dre.lr_norm(residual(prob, Xp))) / float(dre.lr_norm(Clr))
+    assert rel_p < 1e-10
+    dX = np.linalg.norm(np.asarray(lr_to_dense(Xp))
+                        - np.asarray(lr_to_dense(Xc)))
+    assert dX / np.linalg.norm(np.asarray(lr_to_dense(Xc))) < 1e-8
+
+    X_ref = np.asarray(solve_gale_host(E.toarray(), A.toarray(),
+                                       np.asarray(G @ S @ G.T)))
+    err = np.linalg.norm(np.asarray(lr_to_dense(Xp)) - X_ref)
+    assert err / np.linalg.norm(X_ref) < 1e-8
+
+
+def test_pair_adi_closed_loop_smw():
+    """Pair path through the SMW feedback correction (`PairSMWSolver`):
+    closed-loop coefficient ``A − BK`` as a `LowRankUpdateOp`."""
+    from differentialriccatiequations_jl_tpu.ops.operators import lr_update
+
+    E, A, E_op, A_op, sv, G, S, Clr = _conv_diff_setup()
+    n, q = E.shape[0], 3
+    rng = np.random.default_rng(3)
+    m = 2
+    B = jnp.asarray(rng.standard_normal((n, m)) / n)
+    K = jnp.asarray(rng.standard_normal((m, n)) / n)
+    F_op = lr_update(A_op, jnp.asarray(-1.0), B, K)
+    Fd = A.toarray() - np.asarray(B) @ np.asarray(K)
+
+    # Shifts of the closed-loop pencil (host helper handles B/K).
+    sv2 = np.asarray(heuristic_shifts_host(
+        E, A, 8, 14, 14, B=np.asarray(B), K=np.asarray(K)))
+    cfg = CompiledConfig(maxiters=100, compression_interval=10, r_res=q)
+    abstol = 1e-11 * float(dre.lr_norm(Clr))
+    W0, T0 = jnp.asarray(G), jnp.asarray(S)
+
+    shifts_p = _shift_buffer(sv2, jnp.float64, len(sv2), pair_encode=True)
+    lus_p = build_dia_shift_ops(E_op, A_op, shifts_p)
+    Xp, _, it_p, res_p = adi_compiled(
+        E_op, F_op, W0, T0, jnp.int32(q), lr_zero(n, 64, jnp.float64),
+        shifts_p, abstol, cfg, lus_p)
+    assert float(res_p) <= abstol
+
+    X_ref = np.asarray(solve_gale_host(E.toarray(), Fd,
+                                       np.asarray(G @ S @ G.T)))
+    err = np.linalg.norm(np.asarray(lr_to_dense(Xp)) - X_ref)
+    assert err / np.linalg.norm(X_ref) < 1e-8
+
+
+def test_pair_beats_real_substitution():
+    """The iteration-count penalty of the old real-substitution fallback on
+    a genuinely complex spectrum — the measured justification for the pair
+    path (VERDICT r3 weak #4).  Substituted shifts must not converge faster;
+    on this pencil they are measurably slower (or fail to converge)."""
+    E, A, E_op, A_op, sv, G, S, Clr = _conv_diff_setup()
+    n, q = E.shape[0], 3
+    cfg = CompiledConfig(maxiters=120, compression_interval=10, r_res=q)
+    abstol = 1e-9 * float(dre.lr_norm(Clr))
+    W0, T0 = jnp.asarray(G), jnp.asarray(S)
+
+    shifts_p = _shift_buffer(sv, jnp.float64, len(sv), pair_encode=True)
+    lus_p = build_dia_shift_ops(E_op, A_op, shifts_p)
+    _, _, it_pair, res_pair = adi_compiled(
+        E_op, A_op, W0, T0, jnp.int32(q), lr_zero(n, 64, jnp.float64),
+        shifts_p, abstol, cfg, lus_p)
+
+    shifts_r = _real_substitute(jnp.asarray(sv, jnp.complex128))
+    lus_r = build_dia_shift_ops(E_op, A_op, shifts_r)
+    _, _, it_real, res_real = adi_compiled(
+        E_op, A_op, W0, T0, jnp.int32(q), lr_zero(n, 64, jnp.float64),
+        shifts_r, abstol, cfg, lus_r)
+
+    assert float(res_pair) <= abstol
+    assert int(it_pair) <= int(it_real), (
+        f"pair path took {int(it_pair)} iters vs real substitution "
+        f"{int(it_real)}")
+    print(f"[pair-vs-realsub] conv_diff n={n}: pair {int(it_pair)} iters "
+          f"(res {float(res_pair):.2e}) vs real-substitution "
+          f"{int(it_real)} iters (res {float(res_real):.2e})")
