@@ -569,7 +569,12 @@ def substage_northstar():
     prob = GDREProblem(E_op, A_op, jnp.asarray(Bg, dt), jnp.asarray(Cg, dt),
                        X0, (4500.0, 4500.0 - tau * nsteps))
     norm_C = float(np.linalg.norm(np.asarray(Cg)))
-    abstol = float(ng * jnp.finfo(dt).eps * norm_C)
+    # n·eps_f32 at this size is 9.5e-3 relative — so loose the warm-started
+    # stages accept their entry residual (0.2 ADI iters/step measured),
+    # which benchmarks dispatch, not solving.  Use the n=1357 stage
+    # tolerance CLASS (1.6e-4 relative, the f32-defensible tolerance of
+    # the headline GDRE metric) so every stage does real ADI work.
+    abstol = float(1.6e-4 * norm_C)
     cfg = CompiledConfig(maxiters=60, compression_interval=10, r_res=48)
     kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96, abstol=abstol,
               fused=True)

@@ -415,8 +415,6 @@ def lr_compress(X: LowRank, r_out: int | None = None,
     columns are packed to the front (eigenvalues sorted by decreasing
     magnitude) so the zero-padding invariant holds for the result.
     """
-    import jax.scipy.linalg as jsl
-
     n, r = X.L.shape
     finfo = jnp.finfo(X.L.dtype)
     tpu_f64 = X.L.dtype == jnp.float64 and _on_tpu()
@@ -440,11 +438,26 @@ def lr_compress(X: LowRank, r_out: int | None = None,
     else:
         m = r
         M = X.L.T @ X.L
-        ridge = 10.0 * finfo.eps * jnp.maximum(jnp.max(jnp.diagonal(M)), 1.0)
-        Lc = jnp.linalg.cholesky(M + ridge * jnp.eye(r, dtype=M.dtype))
-        R = Lc.T  # L ≈ Q R with R upper triangular
+        # Gram route via clamped eigendecomposition, R = Λ^{1/2}Uᵀ.  A
+        # Cholesky of M + 10·eps ridge NaNs once the f32 accumulation
+        # error over the n rows makes M indefinite beyond the ridge — the
+        # error is ~eps·√n·max(diag), i.e. ~300·eps at n≈8·10⁴, far above
+        # a 10·eps ridge (observed: compiled Newton hump iterates at
+        # n=79841 NaN'd inside lr_compress).  Eigenvalues are clamped to
+        # the Gram noise floor so Λ^{-1/2} stays bounded; clamped
+        # directions carry ~noise-floor weight in S and fall to the
+        # truncation cut.
+        lamM, U = _robust_eigh(M)
+        lam_max = jnp.max(jnp.abs(lamM))
+        floor = jnp.maximum(
+            10.0 * finfo.eps * jnp.sqrt(jnp.asarray(float(n), M.dtype))
+            * lam_max,
+            finfo.tiny)
+        lam_c = jnp.maximum(lamM, floor)
+        R = jnp.sqrt(lam_c)[:, None] * U.T  # L ≈ Q R
+        Rinv = U * (1.0 / jnp.sqrt(lam_c))[None, :]
         S = R @ X.D @ R.T
-        # Q = L R⁻¹ computed lazily below via a triangular solve.
+        # Q = L R⁻¹ applied lazily below (L_new = L · Rinv · Vk).
         Q = None
     S = 0.5 * (S + S.T)
     if tpu_f64:
@@ -462,9 +475,8 @@ def lr_compress(X: LowRank, r_out: int | None = None,
     lam = jnp.where(keep, lam, 0)
     Vk = V * keep[None, :].astype(V.dtype)
     if Q is None:
-        # L R⁻¹ Vk  ==  L · (R⁻¹ Vk); R upper triangular
-        RinvV = jsl.solve_triangular(R, Vk, lower=False)
-        L_new = X.L @ RinvV
+        # L R⁻¹ Vk  ==  L · (R⁻¹ Vk) with R⁻¹ = U Λ^{-1/2} (gram route)
+        L_new = X.L @ (Rinv @ Vk)
     else:
         L_new = Q @ Vk  # (n, m)
     if M_full is not None:

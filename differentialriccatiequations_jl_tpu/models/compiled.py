@@ -1324,12 +1324,34 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
     newton_steps = 0
     res_norm_prev = float("inf")
     eta_cap = 0.1
+    theta_base = None      # θ of the last converged stage
+    stage_exit_res = None  # residual at that stage's convergence
+    hump_cap = 1.0e3       # max stage-entry residual growth before a split
+    ls_failures = 0
     while True:
         Bt = B if theta == 1.0 else dtype.type(np.sqrt(theta)) * B
         L, D = X.L, X.D
         K = ((Bt.T @ L) @ D) @ E.tmm(L).T
         res = gare_res(X, theta)
         res_norm = float(lr_norm(res))
+
+        # Adaptive stage splitting: a θ jump whose entry residual exceeds
+        # ``hump_cap ×`` the previous stage's exit residual would push the
+        # Newton iterates through a hump whose eigenvalue dynamic range
+        # f32 compression cannot carry (the relative truncation cut
+        # 100·eps·max|λ| silently deletes solution-scale directions once a
+        # transient ~1e6 eigenvalue rides along — observed at n=79841,
+        # where a ×1000 jump produced a 1.4e4× hump and the solve
+        # diverged).  Split the jump geometrically until the hump is
+        # bounded; at ratio < 4 accept whatever remains.
+        if (just_staged and stage_exit_res is not None
+                and theta > theta_base
+                and theta / theta_base >= 4.0
+                and res_norm > hump_cap * max(stage_exit_res, abstol)):
+            theta = float(np.sqrt(theta_base * theta))
+            thetas[-1] = theta
+            notify(observer, "gare_metadata", "continuation split", theta)
+            continue
 
         if (X_prev is not None and not just_staged
                 and res_norm > 0.9 * res_norm_prev):
@@ -1349,6 +1371,7 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
                 armijo, beta = 0.1, 0.5
                 lam = beta
                 X_tilde = X
+                failed = False
                 while True:
                     X_try = _linesearch_combine(X_prev, X_tilde, lam,
                                                 capacity)
@@ -1361,10 +1384,35 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
                         break
                     lam *= beta
                     if lam < float(jnp.finfo(dtype).eps):
-                        warnings.warn(
-                            "Line search failed; using un-modified iterate")
-                        lam = 1.0
+                        failed = True
                         break
+                if failed:
+                    # No descent along the whole segment: the step was not
+                    # a descent direction (bad inner solve / invalid
+                    # linearization).  REJECT it — accepting the unmodified
+                    # iterate ratchets the residual upward without bound
+                    # (observed at n=79841) — revert to X_prev, tighten the
+                    # forcing, and retry; give up after 3 rejections.
+                    ls_failures += 1
+                    eta_cap = eta_cap / 10.0
+                    warnings.warn(
+                        "Line search failed; rejecting the step and "
+                        f"tightening forcing (eta_cap={eta_cap:g})")
+                    lam = 0.0
+                    X = X_prev
+                    res = gare_res(X, theta)
+                    res_norm = float(lr_norm(res))
+                    Lt, Dt = X.L, X.D
+                    K = ((Bt.T @ Lt) @ Dt) @ E.tmm(Lt).T
+                    if ls_failures >= 3:
+                        lams.append(lam)
+                        notify(observer, "gare_failed")
+                        warnings.warn(
+                            "compiled Newton: 3 rejected steps in a row "
+                            f"(residual={res_norm / sigma:g}); aborting")
+                        break
+                else:
+                    ls_failures = 0
                 lams.append(lam)
                 notify(observer, "gare_metadata", "line search", lam)
         probing = probing and newton_steps == 0
@@ -1378,6 +1426,8 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             if theta >= 1.0:
                 converged = True
                 break
+            theta_base = theta
+            stage_exit_res = res_norm
             theta = min(1.0, theta * continuation_ratio)
             thetas.append(theta)
             just_staged = True

@@ -225,3 +225,41 @@ def test_eigh_refined_tpu_accuracy():
     assert np.linalg.norm((V @ M) @ V.T - S) < 1e-13 * np.linalg.norm(S)
     np.testing.assert_allclose(np.sort(lam), np.sort(np.linalg.eigvalsh(S)),
                                atol=1e-13)
+
+
+def test_compress_gram_route_f32_singular():
+    """f32 gram-route compression (the TPU throughput path) on a factor
+    with exactly dependent columns and large scale spread: the clamped-eigh
+    orthogonalization must stay NaN-free where a Cholesky of the (numerically
+    indefinite) Gram matrix breaks down (regression: compiled Newton hump
+    iterates at n=79841 NaN'd inside lr_compress, round 4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from differentialriccatiequations_jl_tpu.lowrank import (
+        LowRank, lr_compress, lr_to_dense)
+
+    rng = np.random.default_rng(5)
+    n, r = 2000, 24
+    base = rng.standard_normal((n, 8)).astype(np.float32)
+    # columns: scaled copies + near-duplicates + zero padding
+    cols = [base[:, i % 8] * (10.0 ** ((i % 7) - 3)) for i in range(16)]
+    cols += [base[:, 0] + 1e-4 * base[:, 1], base[:, 0]]
+    L = np.stack(cols + [np.zeros(n, np.float32)] * (r - len(cols)), axis=1)
+    D = np.diag(rng.standard_normal(r).astype(np.float32))
+    D[r - 3:, r - 3:] = 0.0
+    X = LowRank(L=jnp.asarray(L), D=jnp.asarray(0.5 * (D + D.T)),
+                k=jnp.int32(len(cols)))
+    Xc = lr_compress(X, method="gram")
+    assert not bool(jnp.any(jnp.isnan(Xc.L)))
+    assert not bool(jnp.any(jnp.isnan(Xc.D)))
+    dense0 = np.asarray(lr_to_dense(X))
+    dense1 = np.asarray(lr_to_dense(Xc))
+    rel = np.linalg.norm(dense1 - dense0) / max(np.linalg.norm(dense0), 1e-30)
+    assert rel < 5e-3  # sqrt(eps_f32) class (gram-route accuracy)
+    assert int(Xc.k) <= int(X.k)
+
+    # all-zero factor: must not produce inf/NaN through the clamped inverse
+    Z = LowRank(L=jnp.zeros((64, 8), jnp.float32),
+                D=jnp.zeros((8, 8), jnp.float32), k=jnp.int32(0))
+    Zc = lr_compress(Z, method="gram")
+    assert not bool(jnp.any(jnp.isnan(Zc.L))) and int(Zc.k) == 0
