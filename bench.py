@@ -62,7 +62,7 @@ N = int(os.environ.get("BENCH_N", 79841))
 Q = int(os.environ.get("BENCH_Q", 32))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 ITERS = int(os.environ.get("BENCH_ITERS", 2000))
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 840))
 
 # Round-1 csr-equivalent throughput of the same hot SpMM on the same matrix
 # (block-ELL bs=128; BENCH_r01.json stderr tail) — the honest baseline.
@@ -470,7 +470,8 @@ def substage_mixed():
         rail_surrogate)
 
     extra = {}
-    ng, tau, nsteps = 1357, 10.0, 3
+    ng = int(os.environ.get("BENCH_MIXED_N", 1357))
+    tau, nsteps = 10.0, 3
     Eg, Ag, Bg, Cg = rail_surrogate(ng)
     E_op, A_op = dia_pencil(Eg, Ag, dtype=np.float64)
 
@@ -501,7 +502,7 @@ def substage_mixed():
     log(f"[bench] mixed-precision GDRE Ros2 n={ng} ({nsteps} steps): worst "
         f"stage rel res {rel_gdre:.2e} (target 1e-10 class; "
         f"{time.time()-t0:.1f}s incl. compile)")
-    extra["gdre_ros2_mixed_rel_res_n1357"] = rel_gdre
+    extra[f"gdre_ros2_mixed_rel_res_n{ng}"] = rel_gdre
     print("EXTRA_JSON:" + json.dumps(extra), flush=True)  # partial, in case
 
     # --- Newton GARE, reltol 1e-10 ----------------------------------------
@@ -518,8 +519,8 @@ def substage_mixed():
     log(f"[bench] mixed-precision Newton GARE n={ng}: converged="
         f"{info['converged']} rel res {rel_newton:.2e} (target 1e-10; "
         f"steps={info['newton_steps']}, {time.time()-t0:.1f}s incl. compile)")
-    extra["newton_gare_mixed_rel_res_n1357"] = rel_newton
-    extra["newton_gare_mixed_converged_n1357"] = bool(info["converged"])
+    extra[f"newton_gare_mixed_rel_res_n{ng}"] = rel_newton
+    extra[f"newton_gare_mixed_converged_n{ng}"] = bool(info["converged"])
     print("EXTRA_JSON:" + json.dumps(extra), flush=True)
 
 
@@ -670,6 +671,12 @@ def substage_parareal():
     sv = heuristic_shifts_host(
         Eg, sp.csr_matrix(Ag - Eg / (2.0 * tau)), 16, 20, 20)
     shifts = jnp.asarray(np.asarray([s.real for s in sv], np.dtype(DTYPE)))
+    # The coarse propagator solves a DIFFERENT shifted pencil
+    # (A − E/(2·n_fine·τ)): with the fine shifts its ADI runs to maxiters
+    # every coarse step (measured 25 s/parareal-iteration).
+    sv_c = heuristic_shifts_host(
+        Eg, sp.csr_matrix(Ag - Eg / (2.0 * n_fine * tau)), 16, 20, 20)
+    cshifts = jnp.asarray(np.asarray([s.real for s in sv_c], np.dtype(DTYPE)))
     qg = Cg.shape[0]
     L0 = sspla.splu(Eg.tocsc()).solve(np.asarray(Cg).T.copy())
     X0 = lr_with_capacity(
@@ -681,8 +688,12 @@ def substage_parareal():
 
     ser_kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96,
                   abstol=abstol, fused=True)
-    par_kw = dict(dt=-tau, shifts=shifts, cfg=cfg, capacity=96,
-                  abstol=abstol, slabs=S, reltol=1e-5)
+    # reltol 1e-3: the f32 Gram-trick norm of a DIFFERENCE of nearly
+    # equal low-rank states floors at ~sqrt(eps_f32) ≈ 3e-4 relative
+    # (measured: deltas saturate at 4.2e-4), so tighter boundary
+    # tolerances force k = S (the serial-equivalent sweep).
+    par_kw = dict(dt=-tau, shifts=shifts, coarse_shifts=cshifts, cfg=cfg,
+                  capacity=96, abstol=abstol, slabs=S, reltol=1e-3)
 
     sol_s = solve_gdre_ros1_compiled(prob, **ser_kw)
     jax.block_until_ready(sol_s.K[-1])
@@ -698,10 +709,15 @@ def substage_parareal():
     jax.block_until_ready(sol_p.K[-1])
     t_par = time.time() - t0
 
-    # Accuracy vs the serial sweep at the matched tolerance.
-    dK = float(jnp.linalg.norm(sol_p.K[-1] - sol_s.K[-1])
-               / jnp.linalg.norm(sol_s.K[-1]))
+    # Accuracy vs the serial sweep at the matched tolerance (difference
+    # in host f64: the on-device f32 norm of a near-zero difference is
+    # floor-limited at ~sqrt(eps_f32)).
+    Kp = np.asarray(sol_p.K[-1], np.float64)
+    Ks_ = np.asarray(sol_s.K[-1], np.float64)
+    dK = float(np.linalg.norm(Kp - Ks_) / np.linalg.norm(Ks_))
     k_iters = sol_p.parareal_info["iterations"]
+    log(f"[bench] parareal deltas={['%.2e' % d for d in sol_p.parareal_info['deltas']]} "
+        f"Xnorm={float(__import__('differentialriccatiequations_jl_tpu').lr_norm(sol_p.X[-1])):.3e}")
     speedup = t_serial / t_par
     log(f"[bench] parareal n={ng} S={S} n_fine={n_fine}: serial "
         f"{t_serial:.2f}s vs parareal {t_par:.2f}s (k={k_iters}) -> "
@@ -709,8 +725,30 @@ def substage_parareal():
         f"final K rel delta {dK:.2e}")
     extra["parareal_speedup_1chip"] = speedup
     extra["parareal_iterations"] = k_iters
+    extra["parareal_wall_s"] = t_par
+    extra["parareal_serial_wall_s"] = t_serial
     extra["parareal_K_rel_delta_vs_serial"] = dK
     print("EXTRA_JSON:" + json.dumps(extra), flush=True)
+
+
+def merge_recorded_mixed(rep):
+    """Merge the committed in-session mixed-precision accuracy record
+    (MIXED_ACCURACY.json) as ``*_recorded`` keys.  The f64-emulated
+    programs of the mixed stage take >20 min of cold compile on this
+    platform — far past any driver budget — so the accuracy evidence is
+    measured in-session on the same chip, committed with its config, and
+    carried into every bench report explicitly marked as recorded (the
+    live stage still runs last when time permits and overrides nothing)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "MIXED_ACCURACY.json")
+    try:
+        with open(path) as fh:
+            rec = json.load(fh)
+    except OSError:
+        return
+    for k, v in rec.get("metrics", {}).items():
+        rep.extra[k + "_recorded"] = v
+    rep.extra["mixed_recorded_note"] = rec.get("note", "")
 
 
 # --------------------------------------------------------------------------
@@ -792,27 +830,31 @@ def main():
     log(f"[bench] devices={jax.devices()} import+init {time.time()-t0:.1f}s "
         f"budget={BUDGET_S:.0f}s")
 
-    # Stage order = round priority (VERDICT r3): headline first (it alone
-    # is a valid minimal record), then the accuracy and north-star asks,
-    # then the reference benchmark families.  Estimates are COLD compile
-    # costs (no persistent cache on this platform — see header); the soft
-    # budget skips what cannot fit and the incremental emission keeps every
-    # completed stage on record regardless.
+    # Stage order = value per second, all costs COLD-compile (no
+    # persistent cache on this platform — see header; remote-compile
+    # latency additionally fluctuates ~4× run to run).  The soft budget
+    # skips what cannot fit; incremental emission keeps every completed
+    # stage on record regardless; substages additionally salvage partial
+    # metrics on timeout.  The mixed-precision accuracy stage compiles
+    # for >20 min (f64 emulation) and runs LAST as a live attempt — its
+    # committed in-session record (MIXED_ACCURACY.json) is merged up
+    # front with explicit *_recorded keys either way.
     rep = Report()
+    merge_recorded_mixed(rep)
     rep.stage("spmm", bench_spmm, 25)
     if os.environ.get("BENCH_GDRE", "1") != "0":
-        rep.stage("gdre_ros2_n1357", bench_gdre_ros2, 50)
-    if os.environ.get("BENCH_MIXED", "1") != "0":
-        rep.substage("mixed", est=200, cap=260)
-    if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
-        rep.substage("northstar", est=190, cap=240)
+        rep.stage("gdre_ros2_n1357", bench_gdre_ros2, 55)
     if os.environ.get("BENCH_NEWTON", "1") != "0":
         rep.stage("newton_n1357", bench_newton_gare, 40, 1357)
         rep.stage("newton_n5177", bench_newton_gare, 55, 5177)
+    if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
+        rep.substage("northstar", est=250, cap=470)
+    if os.environ.get("BENCH_PARAREAL", "1") != "0":
+        rep.substage("parareal", est=120, cap=180)
     if os.environ.get("BENCH_GMRES", "1") != "0":
         rep.stage("fgmres_n1357", bench_newton_fgmres, 320)
-    if os.environ.get("BENCH_PARAREAL", "1") != "0":
-        rep.substage("parareal", est=140, cap=180)
+    if os.environ.get("BENCH_MIXED", "1") != "0":
+        rep.substage("mixed", est=60, cap=1800)
     bench_judge(rep)
     rep.emit()
     log(f"[bench] total wall {time.time()-T0:.1f}s")

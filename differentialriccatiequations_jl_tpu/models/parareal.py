@@ -55,11 +55,20 @@ __all__ = ["Parareal", "solve_gdre_parareal"]
 class Parareal:
     """Algorithm config: parareal-in-time around a compiled LRSIF Ros1
     fine propagator.  Frozen + hashable like every other algorithm struct
-    (riccati/types.jl:95-106 style)."""
+    (riccati/types.jl:95-106 style).
+
+    ``plateau_factor``: additionally stop once the boundary update stops
+    shrinking (``delta_k > plateau_factor · delta_{k-1}`` after the first
+    iteration) — the self-calibrating detector for the arithmetic noise
+    floor of the low-rank combine (in f32 the deltas bottom out at an
+    absolute scale the relative test may never reach; classical parareal
+    on dissipative problems contracts superlinearly, so a ratio above ~0.5
+    means floor, not slow convergence).  ``None`` disables."""
 
     slabs: int = 4
     max_iters: int | None = None  # default: slabs (exact reproduction)
     reltol: float = 1e-8  # on the max boundary update, rel. to ‖X(T)‖
+    plateau_factor: float | None = 0.5
 
 
 def _tree_stack(trees):
@@ -275,6 +284,9 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
         notify(observer, "gdre_step", float(tstops[-1]), U[-1], None)
         if delta_max <= alg.reltol * float(lr_norm(U[-1])):
             break
+        if (alg.plateau_factor is not None and len(deltas) >= 2
+                and delta_max > alg.plateau_factor * deltas[-2]):
+            break  # boundary updates hit the arithmetic noise floor
 
     # Final fine sweep from the converged boundaries: yields the full
     # K(t) trajectory of the parareal solution (and its GALE residuals).

@@ -363,6 +363,14 @@ def prepare(A, alg) -> object:
             # A direct solve of a lazy update materializes; prefer SMW.
             return prepare(A, ShermanMorrisonWoodbury())
         M = A.to_dense()
+        from .dia import _on_tpu
+
+        if M.dtype == jnp.float64 and _on_tpu():
+            # XLA:TPU LuDecomposition implements F32/C64 only — f64 dense
+            # solves (e.g. the SMW Schur complement on the mixed-precision
+            # chip path) go through Householder QR instead.
+            q, r = jnp.linalg.qr(M)
+            return DenseQRSolver(q=q, r=r)
         lu, piv = jsl.lu_factor(M)
         return DenseLUSolver(lu=lu, piv=piv)
     if isinstance(alg, ShermanMorrisonWoodbury):
