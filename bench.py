@@ -85,10 +85,12 @@ class Report:
     def __init__(self):
         self.value = None
         self.extra = {"stages_skipped": [], "stages_failed": []}
+        self._prev = None  # lazy-loaded previous round record
 
     def emit(self):
         if self.value is None:
             return
+        bench_judge(self)  # refresh verdicts so ANY kill point carries them
         print(json.dumps({
             "metric": "adi_shifted_spmm_csr_nnz_per_s_chip_rail79841_surrogate",
             "value": self.value,
@@ -763,26 +765,34 @@ def bench_judge(rep):
     """PkgBenchmark `judge` analog (/root/reference/benchmark/README.md:31-40):
     diff this run's metrics against the latest recorded BENCH_r{N}.json and
     classify PASS / IMPROVED / REGRESSED (>10% in the metric's bad
-    direction)."""
-    rounds = []
-    for f in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", f)
-        if m:
-            rounds.append((int(m.group(1)), f))
-    if not rounds:
+    direction).  Runs on every emit (cheap) so a killed run still carries
+    the verdicts computed so far."""
+    if rep._prev is None:
+        rounds = []
+        for f in glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", f)
+            if m:
+                rounds.append((int(m.group(1)), f))
+        if not rounds:
+            rep._prev = (None, {})
+        else:
+            rn, path = max(rounds)
+            try:
+                with open(path) as fh:
+                    prev = json.load(fh)
+            except Exception as e:
+                log(f"[bench] judge: cannot read {path}: {e!r}")
+                prev = {}
+            prev_parsed = prev.get("parsed") or {}
+            pe = dict(prev_parsed.get("extra") or {})
+            if prev_parsed.get("value") is not None:
+                pe["__headline__"] = prev_parsed["value"]
+            rep._prev = (rn, pe)
+    rn, prev_extra = rep._prev
+    if rn is None:
         return
-    rn, path = max(rounds)
-    try:
-        with open(path) as fh:
-            prev = json.load(fh)
-    except Exception as e:
-        log(f"[bench] judge: cannot read {path}: {e!r}")
-        return
-    prev_parsed = prev.get("parsed") or {}
-    prev_extra = dict(prev_parsed.get("extra") or {})
-    if prev_parsed.get("value") is not None:
-        prev_extra["__headline__"] = prev_parsed["value"]
 
     cur = dict(rep.extra)
     cur["__headline__"] = rep.value
@@ -810,12 +820,6 @@ def bench_judge(rep):
             verdicts[key] = "PASS"
     rep.extra["judge_vs_round"] = rn
     rep.extra["judge"] = verdicts
-    n_reg = sum(1 for v in verdicts.values() if v.startswith("REGRESSED"))
-    log(f"[bench] judge vs BENCH_r{rn:02d}: "
-        f"{len(verdicts)} metrics compared, {n_reg} regressed")
-    for k, v in sorted(verdicts.items()):
-        if v != "PASS":
-            log(f"[bench]   {k}: {v}")
 
 
 # --------------------------------------------------------------------------
@@ -841,21 +845,27 @@ def main():
     # front with explicit *_recorded keys either way.
     rep = Report()
     merge_recorded_mixed(rep)
-    rep.stage("spmm", bench_spmm, 25)
+    # First stage absorbs device-attach latency (minutes if a previous
+    # process's lease is still settling) + remote-compile variance.
+    rep.stage("spmm", bench_spmm, 120)
     if os.environ.get("BENCH_GDRE", "1") != "0":
-        rep.stage("gdre_ros2_n1357", bench_gdre_ros2, 55)
+        rep.stage("gdre_ros2_n1357", bench_gdre_ros2, 60)
     if os.environ.get("BENCH_NEWTON", "1") != "0":
-        rep.stage("newton_n1357", bench_newton_gare, 40, 1357)
-        rep.stage("newton_n5177", bench_newton_gare, 55, 5177)
+        rep.stage("newton_n1357", bench_newton_gare, 55, 1357)
+        rep.stage("newton_n5177", bench_newton_gare, 85, 5177)
     if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
-        rep.substage("northstar", est=250, cap=470)
-    if os.environ.get("BENCH_PARAREAL", "1") != "0":
-        rep.substage("parareal", est=120, cap=180)
+        rep.substage("northstar", est=340, cap=470)
     if os.environ.get("BENCH_GMRES", "1") != "0":
-        rep.stage("fgmres_n1357", bench_newton_fgmres, 320)
+        rep.stage("fgmres_n1357", bench_newton_fgmres, 240)
+    if os.environ.get("BENCH_PARAREAL", "1") != "0":
+        # Cold-compiles two solver families and runs each twice: only fits
+        # an extended budget (the measured numbers also live in README).
+        rep.substage("parareal", est=520, cap=650)
     if os.environ.get("BENCH_MIXED", "1") != "0":
-        rep.substage("mixed", est=60, cap=1800)
-    bench_judge(rep)
+        # f64-emulated programs: >20 min compile on this platform — a live
+        # attempt only under an explicitly extended budget; the committed
+        # in-session record (MIXED_ACCURACY.json) is merged above.
+        rep.substage("mixed", est=1500, cap=1800)
     rep.emit()
     log(f"[bench] total wall {time.time()-T0:.1f}s")
 

@@ -438,26 +438,23 @@ def lr_compress(X: LowRank, r_out: int | None = None,
     else:
         m = r
         M = X.L.T @ X.L
-        # Gram route via clamped eigendecomposition, R = Λ^{1/2}Uᵀ.  A
-        # Cholesky of M + 10·eps ridge NaNs once the f32 accumulation
-        # error over the n rows makes M indefinite beyond the ridge — the
-        # error is ~eps·√n·max(diag), i.e. ~300·eps at n≈8·10⁴, far above
-        # a 10·eps ridge (observed: compiled Newton hump iterates at
-        # n=79841 NaN'd inside lr_compress).  Eigenvalues are clamped to
-        # the Gram noise floor so Λ^{-1/2} stays bounded; clamped
-        # directions carry ~noise-floor weight in S and fall to the
-        # truncation cut.
-        lamM, U = _robust_eigh(M)
-        lam_max = jnp.max(jnp.abs(lamM))
-        floor = jnp.maximum(
-            10.0 * finfo.eps * jnp.sqrt(jnp.asarray(float(n), M.dtype))
-            * lam_max,
-            finfo.tiny)
-        lam_c = jnp.maximum(lamM, floor)
-        R = jnp.sqrt(lam_c)[:, None] * U.T  # L ≈ Q R
-        Rinv = U * (1.0 / jnp.sqrt(lam_c))[None, :]
+        # Gram-route ridge: the f32 accumulation error of LᵀL over n rows
+        # is ~eps·√n·max(diag) — at n≈8·10⁴ that is ~300·eps·maxdiag, so
+        # the old flat 10·eps ridge left M numerically indefinite and the
+        # Cholesky NaN'd (observed on compiled Newton hump iterates at
+        # n=79841).  A √n-scaled ridge dominates the accumulation error,
+        # keeping the (fast, MXU-friendly) Cholesky orthogonalization
+        # NaN-free; the extra bias stays inside the gram route's ~√eps
+        # accuracy class.  (An eigh-based orthogonalization is NaN-free
+        # too but measured 2× slower per GDRE step on v5e.)
+        ridge = jnp.maximum(
+            10.0 * finfo.eps * (1.0 + n ** 0.5)
+            * jnp.max(jnp.diagonal(M)),
+            jnp.asarray(finfo.tiny, M.dtype))
+        Lc = jnp.linalg.cholesky(M + ridge * jnp.eye(r, dtype=M.dtype))
+        R = Lc.T  # L ≈ Q R with R upper triangular
         S = R @ X.D @ R.T
-        # Q = L R⁻¹ applied lazily below (L_new = L · Rinv · Vk).
+        # Q = L R⁻¹ computed lazily below via a triangular solve.
         Q = None
     S = 0.5 * (S + S.T)
     if tpu_f64:
@@ -475,8 +472,10 @@ def lr_compress(X: LowRank, r_out: int | None = None,
     lam = jnp.where(keep, lam, 0)
     Vk = V * keep[None, :].astype(V.dtype)
     if Q is None:
-        # L R⁻¹ Vk  ==  L · (R⁻¹ Vk) with R⁻¹ = U Λ^{-1/2} (gram route)
-        L_new = X.L @ (Rinv @ Vk)
+        # L R⁻¹ Vk  ==  L · (R⁻¹ Vk); R upper triangular (gram route)
+        import jax.scipy.linalg as jsl
+
+        L_new = X.L @ jsl.solve_triangular(R, Vk, lower=False)
     else:
         L_new = Q @ Vk  # (n, m)
     if M_full is not None:
