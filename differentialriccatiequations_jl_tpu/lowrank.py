@@ -438,20 +438,29 @@ def lr_compress(X: LowRank, r_out: int | None = None,
     else:
         m = r
         M = X.L.T @ X.L
-        # Gram-route ridge: the f32 accumulation error of LᵀL over n rows
-        # is ~eps·√n·max(diag) — at n≈8·10⁴ that is ~300·eps·maxdiag, so
-        # the old flat 10·eps ridge left M numerically indefinite and the
-        # Cholesky NaN'd (observed on compiled Newton hump iterates at
-        # n=79841).  A √n-scaled ridge dominates the accumulation error,
-        # keeping the (fast, MXU-friendly) Cholesky orthogonalization
-        # NaN-free; the extra bias stays inside the gram route's ~√eps
-        # accuracy class.  (An eigh-based orthogonalization is NaN-free
-        # too but measured 2× slower per GDRE step on v5e.)
-        ridge = jnp.maximum(
-            10.0 * finfo.eps * (1.0 + n ** 0.5)
-            * jnp.max(jnp.diagonal(M)),
-            jnp.asarray(finfo.tiny, M.dtype))
-        Lc = jnp.linalg.cholesky(M + ridge * jnp.eye(r, dtype=M.dtype))
+        # Gram-route ridge, ADAPTIVE: the f32 accumulation error of LᵀL
+        # over n rows is ~eps·√n·max(diag) — at n≈8·10⁴ that is
+        # ~300·eps·maxdiag, so a plain (or flat 10·eps-ridged) Cholesky of
+        # the numerically indefinite M NaN'd on compiled Newton hump
+        # iterates at n=79841.  But an UNCONDITIONAL √n-scaled ridge
+        # biases every compression by ~√(eps·√n) in the factor — measured
+        # round 5: it capped the Newton+FGMRES solve at rel res ~1e-3
+        # (BENCH_r04 newton_fgmres_failed_n1357) because the Krylov basis
+        # vectors inherit the bias.  So: factor the raw Gram first and
+        # only fall back to the √n-ridged retry where it actually breaks
+        # down.  Both Cholesky's are r×r (r ≤ ~200) — negligible next to
+        # the n×r Gram product.  (An eigh-based orthogonalization is
+        # NaN-free too but measured 2× slower per GDRE step on v5e.)
+        maxdiag = jnp.max(jnp.diagonal(M))
+        flat = jnp.maximum(10.0 * finfo.eps * maxdiag,
+                           jnp.asarray(finfo.tiny, M.dtype))
+        ridge = jnp.maximum((1.0 + n ** 0.5) * flat,
+                            jnp.asarray(finfo.tiny, M.dtype))
+        eye = jnp.eye(r, dtype=M.dtype)
+        Lc0 = jnp.linalg.cholesky(M + flat * eye)
+        Lc1 = jnp.linalg.cholesky(M + ridge * eye)
+        bad = ~jnp.all(jnp.isfinite(Lc0))
+        Lc = jnp.where(bad, Lc1, Lc0)
         R = Lc.T  # L ≈ Q R with R upper triangular
         S = R @ X.D @ R.T
         # Q = L R⁻¹ computed lazily below via a triangular solve.

@@ -595,9 +595,18 @@ def adi_compiled(E, A, W0, T0, w_k, X0: LowRank, shifts, abstol,
             is_real = jnp.imag(mu_c) == 0.0
             can_pair = True
         if pair_encoded and not can_pair:
-            # All-real buffer stored in pair encoding: no pair tables were
-            # built (every Im μ is 0), only the real branch can run.
-            W, X, used = real_step(mu_c, idx, W, T0, X)
+            # No pair tables (typically an all-real buffer in pair
+            # encoding, where every Im μ is 0 and this is exact).  If a
+            # caller nevertheless passed genuine pairs without a DiaOp
+            # solver (build_step_shift_solvers raises on that route), fall
+            # back to the equal-modulus real substitution −|μ| — still in
+            # the open left half-plane, so ADI stays convergent — rather
+            # than silently dropping Im μ (ADVICE r4).
+            mu_sub = jnp.where(mu_c[1] != 0.0,
+                               -jnp.sqrt(mu_c[0] ** 2 + mu_c[1] ** 2),
+                               mu_c[0])
+            W, X, used = real_step(
+                jnp.stack([mu_sub, jnp.zeros_like(mu_sub)]), idx, W, T0, X)
         else:
             W, X, used = jax.lax.cond(
                 is_real,
@@ -672,6 +681,16 @@ def build_step_shift_solvers(E, F_base, shifts, krylov_cfg=None,
     from ..ops.operators import DenseOp
 
     core = F_base.A if isinstance(F_base, LowRankUpdateOp) else F_base
+    sarr = np.asarray(shifts)
+    if (sarr.ndim == 2 and np.any(sarr[:, 1] != 0)
+            and not isinstance(core, DiaOp)):
+        # Pair tables (the all-real stacked double step) only exist for
+        # banded cores; a dense/block-ELL solver would silently run the
+        # real branch with Re μ alone in adi_compiled (ADVICE r4).
+        raise ValueError(
+            "pair-encoded shift buffer with nonzero Im(mu) requires a "
+            "banded (DiaOp) core; use _real_substitute(...) or a complex "
+            f"1-D buffer for {type(core).__name__}")
     if isinstance(core, DenseOp):
         return build_shift_lus(E, core, shifts)
     if isinstance(core, DiaOp):
@@ -1289,8 +1308,17 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         # reference's 1e-10 f64 tolerances on chip.
         if krylov_cfg is not None or inner_solve_dtype is None:
             return krylov_cfg
+        # Mirror build_dia_shift_ops' has_pairs correction (a non-None cfg
+        # bypasses it): a pair-encoded buffer is real-dtype 2-D, but any
+        # nonzero Im μ means the pencil is nonsymmetric, so the real slots
+        # must use BiCGStab too — deriving the method from the buffer dtype
+        # alone would run CG on a nonsymmetric operator (ADVICE r4).
+        buf = np.asarray(shift_buf)
+        has_pairs = buf.ndim == 2 and bool(np.any(buf[:, 1] != 0))
         return dataclasses.replace(
-            default_dia_krylov(E.dtype, shift_buf.dtype),
+            default_dia_krylov(
+                E.dtype,
+                jnp.complex64 if has_pairs else jnp.asarray(shift_buf).dtype),
             solve_dtype=inner_solve_dtype)
     if per_step:
         strat = shifts

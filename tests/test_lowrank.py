@@ -229,10 +229,11 @@ def test_eigh_refined_tpu_accuracy():
 
 def test_compress_gram_route_f32_singular():
     """f32 gram-route compression (the TPU throughput path) on a factor
-    with exactly dependent columns and large scale spread: the clamped-eigh
-    orthogonalization must stay NaN-free where a Cholesky of the (numerically
-    indefinite) Gram matrix breaks down (regression: compiled Newton hump
-    iterates at n=79841 NaN'd inside lr_compress, round 4)."""
+    with exactly dependent columns and large scale spread: the √n-scaled
+    ridge added to the Gram matrix must keep its Cholesky NaN-free where
+    the unregularized factorization of the (numerically singular) Gram
+    matrix breaks down (regression: compiled Newton hump iterates at
+    n=79841 NaN'd inside lr_compress, round 4)."""
     import numpy as np
     import jax.numpy as jnp
     from differentialriccatiequations_jl_tpu.lowrank import (
