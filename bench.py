@@ -485,9 +485,16 @@ def bench_newton_fgmres(rep, ng=1357):
                                            capacity=192))
     kw = dict(shifts=PerStepHeuristic(20, 30, 30), cfg=cfg, capacity=96,
               reltol=reltol, inner_gmres=gmres)
+    extra = {}
     X, info = solve_gare_newton_compiled(gprob, **kw)
     jax.block_until_ready(X.L)
     t1 = time.time()
+    rel_res = info["residuals"][-1] / info["residuals"][0]
+    extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
+    extra[f"newton_fgmres_iters_n{ng}"] = info["newton_steps"]
+    if not info["converged"]:
+        extra[f"newton_fgmres_failed_n{ng}"] = True
+    print("EXTRA_JSON:" + json.dumps(extra), flush=True)  # pre-warm salvage
     X, info = solve_gare_newton_compiled(gprob, **kw)
     jax.block_until_ready(X.L)
     t2 = time.time()
@@ -495,14 +502,27 @@ def bench_newton_fgmres(rep, ng=1357):
     log(f"[bench] Newton+FGMRES GARE n={ng}: cold {t1-t0:.1f}s, warm "
         f"{t2-t1:.2f}s; converged={info['converged']} "
         f"newton_steps={info['newton_steps']} final_rel_res={rel_res:.2e}")
+    extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
     if not info["converged"]:
-        rep.extra[f"newton_fgmres_failed_n{ng}"] = True
-        rep.extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
+        extra[f"newton_fgmres_failed_n{ng}"] = True
+        print("EXTRA_JSON:" + json.dumps(extra), flush=True)
         raise RuntimeError(
             f"Newton FGMRES n={ng} did not converge (rel res {rel_res:.2e})")
-    rep.extra[f"newton_fgmres_wall_s_n{ng}"] = t2 - t1
-    rep.extra[f"newton_fgmres_iters_n{ng}"] = info["newton_steps"]
-    rep.extra[f"newton_fgmres_final_rel_res_n{ng}"] = rel_res
+    extra.pop(f"newton_fgmres_failed_n{ng}", None)
+    extra[f"newton_fgmres_wall_s_n{ng}"] = t2 - t1
+    extra[f"newton_fgmres_iters_n{ng}"] = info["newton_steps"]
+    print("EXTRA_JSON:" + json.dumps(extra), flush=True)
+
+
+def substage_fgmres():
+    """Subprocess wrapper: the Newton+FGMRES cold compile fluctuates
+    291-490 s run to run (remote compile service variance, measured round
+    5) — as an in-process stage it could blow through the soft budget with
+    no way to stop it; as a substage it is hard-killable at its cap and
+    its pre-warm metrics are salvaged from the incremental EXTRA_JSON."""
+    class _Sink:
+        extra = {}
+    bench_newton_fgmres(_Sink(), 1357)
 
 
 # --------------------------------------------------------------------------
@@ -555,13 +575,19 @@ def bench_pair_shifts(rep, ng=300):
             E_op, A_op, W0, T0, jnp.int32(q), lr_zero(ng, 64, jnp.float32),
             shifts, jnp.asarray(abstol, jnp.float32), cfg, lus)
         jax.block_until_ready(X.L)
+        # True residual recomputed at the returned X.  r_out must cover the
+        # residual factor's numerical rank (~q + 2·rank(X)); the smoke
+        # test's 2·r_res=6 was pure truncation error (measured 5.5e-2
+        # against a dense-oracle 1.7e-4 at identical X, round 5).
         true_res = float(lr_norm(residual_gale_lowrank(
-            E_op, A_op, Clr, X, r_out=2 * cfg.r_res)))
+            E_op, A_op, Clr, X, r_out=64)))
         return int(it), true_res / norm_c, time.time() - t0
 
     it_p, rel_p, w_p = run(_shift_buffer(sv, jnp.float32, len(sv),
                                          pair_encode=True))
-    it_r, rel_r, w_r = run(_real_substitute(jnp.asarray(sv, np.complex64)))
+    # NB: _real_substitute takes the HOST complex array — a complex64
+    # device array cannot be read back on this TPU backend (UNIMPLEMENTED).
+    it_r, rel_r, w_r = run(_real_substitute(sv))
     backend = jax.default_backend()
     log(f"[bench] pair double step n={ng} backend={backend}: pair "
         f"iters={it_p} rel_res={rel_p:.2e} ({w_p:.0f}s incl. compile) vs "
@@ -719,19 +745,36 @@ def substage_parareal_cpu():
         extra["parareal_cpu_mesh_devices"] = S
         print("EXTRA_JSON:" + json.dumps(extra), flush=True)
     else:
-        t_shard = None
+        t_shard, sol_sh = None, None
     t_one, sol_1 = timed({})
     extra["parareal_cpu_1dev_wall_s"] = t_one
     if t_shard is not None:
-        # speedup of the identical parareal program from slab sharding
-        # alone; efficiency = speedup / S.
-        extra["parareal_cpu_mesh_speedup"] = t_one / t_shard
-        extra["parareal_cpu_mesh_efficiency"] = t_one / t_shard / S
-    extra["parareal_cpu_iterations"] = sol_1.parareal_info["iterations"]
+        # HONEST framing: this host has 2 physical cores, so 8 virtual
+        # devices oversubscribe 4×; the sharded wall measures that
+        # oversubscription plus partitioning overhead, NOT the slab-axis
+        # scaling (whose per-device independence is certified numerically
+        # below and in tests/test_parareal.py).  Real multi-chip scaling
+        # needs real chips; this environment has one.
+        extra["parareal_cpu_mesh_wall_note"] = (
+            "8 virtual devices on a 2-physical-core host: wall reflects "
+            "4x core oversubscription, not slab-axis scaling")
+        # Numerical certification: the sharded program computes the same
+        # trajectory (slab axis is embarrassingly parallel).
+        Ks, Km = np.asarray(sol_1.K[-1]), np.asarray(sol_sh.K[-1])
+        extra["parareal_cpu_mesh_K_rel_delta"] = float(
+            np.linalg.norm(Km - Ks) / max(np.linalg.norm(Ks), 1e-300))
+    k_iters = sol_1.parareal_info["iterations"]
+    extra["parareal_cpu_iterations"] = k_iters
+    extra["parareal_cpu_slabs"] = S
+    # The multi-device headroom the slab axis exposes at this accuracy:
+    # k parareal iterations replace an S-slab serial sweep, so with one
+    # slab per device the fine-propagation critical path shrinks ~S/k
+    # (minus the serial coarse stitch measured in the chip substage).
+    extra["parareal_cpu_speedup_bound_S_over_k"] = S / max(k_iters, 1)
     extra["parareal_cpu_stopped_by"] = sol_1.parareal_info["stopped_by"]
     log(f"[bench] parareal CPU mesh: 1dev {t_one:.2f}s, "
         f"{S}dev {t_shard if t_shard is None else round(t_shard, 2)}s "
-        f"(k={sol_1.parareal_info['iterations']})")
+        f"(k={k_iters})")
     print("EXTRA_JSON:" + json.dumps(extra), flush=True)
 
 
@@ -1025,6 +1068,7 @@ def substage_parareal():
         f"final K rel delta {dK:.2e}")
     extra["parareal_speedup_1chip"] = speedup
     extra["parareal_iterations"] = k_iters
+    extra["parareal_stopped_by"] = sol_p.parareal_info["stopped_by"]
     extra["parareal_wall_s"] = t_par
     extra["parareal_serial_wall_s"] = t_serial
     extra["parareal_K_rel_delta_vs_serial"] = dK
@@ -1224,12 +1268,17 @@ def main():
     if os.environ.get("BENCH_NEWTON", "1") != "0":
         rep.stage("newton_n1357", bench_newton_gare, 65, 1357)
         rep.stage("newton_n5177", bench_newton_gare, 100, 5177)
-    if os.environ.get("BENCH_GMRES", "1") != "0":
-        rep.stage("fgmres_n1357", bench_newton_fgmres, 250)
     if os.environ.get("BENCH_PAIR", "1") != "0":
-        rep.stage("pair_convdiff", bench_pair_shifts, 130)
+        rep.stage("pair_convdiff", bench_pair_shifts, 60)
+    if os.environ.get("BENCH_GMRES", "1") != "0":
+        # Cold compile 291-490s (remote-compile variance): subprocess so
+        # the cap can hard-kill it; pre-warm metrics salvage on timeout.
+        rep.substage("fgmres", est=310, cap=560)
     if os.environ.get("BENCH_GALE_MIXED", "1") != "0":
-        rep.substage("gale_mixed", est=200, cap=420)
+        # 720s measured in-session (f64-emulated compile dominates): only
+        # fits an extended budget; its in-session chip record
+        # (RECORDED_RESULTS.json) is merged above either way.
+        rep.substage("gale_mixed", est=700, cap=780)
     if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
         # Does not fit the default budget alongside the new chip-evidence
         # stages; its in-session record (RECORDED_RESULTS.json) is merged
@@ -1262,6 +1311,7 @@ if __name__ == "__main__":
          "northstar": substage_northstar,
          "parareal": substage_parareal,
          "parareal_cpu": substage_parareal_cpu,
-         "gale_mixed": substage_gale_mixed}[sys.argv[2]]()
+         "gale_mixed": substage_gale_mixed,
+         "fgmres": substage_fgmres}[sys.argv[2]]()
     else:
         main()

@@ -303,9 +303,16 @@ def build_dia_shift_ops(E, A0, shifts, krylov_cfg=None,
         # shifts) — then the REAL slots must also use BiCGStab, exactly as
         # the 1-D complex buffer's dtype-derived config would have chosen
         # (CG on the negated operator is only valid for the symmetric
-        # case).  All-real buffers keep CG.
+        # case).  The same holds for an all-real buffer on a KNOWN
+        # nonsymmetric pencil (e.g. equal-modulus real substitution of
+        # complex shifts: CG NaN'd on the conv-diff pencil on chip,
+        # round 5) — `DiaOp.symmetric` carries that structure hint from
+        # construction.  All-real buffers on symmetric pencils keep CG.
+        nonsym = (getattr(A0, "symmetric", None) is False
+                  or getattr(E, "symmetric", None) is False)
         krylov_cfg = default_dia_krylov(
-            E.dtype, jnp.complex64 if has_pairs else shifts.dtype)
+            E.dtype,
+            jnp.complex64 if (has_pairs or nonsym) else shifts.dtype)
 
     At, Et = A0.adjoint(), E.adjoint()
     a_part = shifts[:, 0] if pair_encoded else shifts
@@ -1078,8 +1085,11 @@ def pair_encode_shifts(shifts, rdtype=None):
 
 
 def _real_substitute(shifts):
+    # Entirely host-side until the final (real) device put: a complex
+    # device array cannot even round-trip on the hosted-TPU backend
+    # (UNIMPLEMENTED on transfer, measured round 5).
     arr = np.asarray(shifts)
-    rdt = jnp.finfo(jnp.asarray(shifts).dtype).dtype  # matching real dtype
+    rdt = jax.dtypes.canonicalize_dtype(np.asarray(arr).real.dtype)
     return jnp.asarray(
         np.where(np.abs(arr.imag) > 0, -np.abs(arr), arr.real).astype(rdt))
 
@@ -1308,17 +1318,21 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
         # reference's 1e-10 f64 tolerances on chip.
         if krylov_cfg is not None or inner_solve_dtype is None:
             return krylov_cfg
-        # Mirror build_dia_shift_ops' has_pairs correction (a non-None cfg
-        # bypasses it): a pair-encoded buffer is real-dtype 2-D, but any
-        # nonzero Im μ means the pencil is nonsymmetric, so the real slots
-        # must use BiCGStab too — deriving the method from the buffer dtype
-        # alone would run CG on a nonsymmetric operator (ADVICE r4).
+        # Mirror build_dia_shift_ops' has_pairs/nonsymmetric correction (a
+        # non-None cfg bypasses it): a pair-encoded buffer is real-dtype
+        # 2-D, but any nonzero Im μ — or a known-nonsymmetric pencil —
+        # means the real slots must use BiCGStab too; deriving the method
+        # from the buffer dtype alone would run CG on a nonsymmetric
+        # operator (ADVICE r4).
         buf = np.asarray(shift_buf)
         has_pairs = buf.ndim == 2 and bool(np.any(buf[:, 1] != 0))
+        nonsym = (getattr(_base_A, "symmetric", None) is False
+                  or getattr(E, "symmetric", None) is False)
         return dataclasses.replace(
             default_dia_krylov(
                 E.dtype,
-                jnp.complex64 if has_pairs else jnp.asarray(shift_buf).dtype),
+                jnp.complex64 if (has_pairs or nonsym)
+                else jnp.asarray(shift_buf).dtype),
             solve_dtype=inner_solve_dtype)
     if per_step:
         strat = shifts

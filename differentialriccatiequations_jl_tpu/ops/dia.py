@@ -51,7 +51,7 @@ _PALLAS_BN = int(_os.environ.get("DRE_DIA_BN", "2048"))
 
 
 @register_pytree_dataclass(
-    meta_fields=("offsets", "n", "nnz_", "use_pallas", "mesh")
+    meta_fields=("offsets", "n", "nnz_", "use_pallas", "mesh", "symmetric")
 )
 @dataclasses.dataclass(frozen=True)
 class DiaOp:
@@ -61,7 +61,13 @@ class DiaOp:
     mesh size); padded entries are zero.  ``mesh`` (a hashable
     `jax.sharding.Mesh` or None) switches `mm`/`tmm` to the halo-exchange
     `shard_map` path.
-    """
+
+    ``symmetric``: static tri-state structure hint set at construction
+    (`dia_pencil` checks the host matrices): ``True`` ⇒ exactly symmetric,
+    ``False`` ⇒ known nonsymmetric, ``None`` ⇒ unknown.  Downstream Krylov
+    selection uses it — CG on the negated shifted pencil is only valid
+    when the pencil is symmetric (real substitution of complex shifts on a
+    nonsymmetric pencil NaN'd under CG on chip, round 5)."""
 
     data: jax.Array  # (ndiag, N) with N >= n
     data_t: jax.Array  # (ndiag, N): data_t[d, i] = data[d, i - offsets[d]]
@@ -70,6 +76,7 @@ class DiaOp:
     nnz_: int  # structural nonzeros (csr-equivalent), set at construction
     use_pallas: bool = False
     mesh: object = None
+    symmetric: object = None
 
     @property
     def shape(self):
@@ -168,7 +175,7 @@ class DiaOp:
             data_t=self.data[::-1],
             offsets=tuple(-o for o in reversed(self.offsets)),
             n=self.n, nnz_=self.nnz_, use_pallas=self.use_pallas,
-            mesh=self.mesh,
+            mesh=self.mesh, symmetric=self.symmetric,
         )
 
     def to_scipy(self):
@@ -480,6 +487,12 @@ def dia_offsets(M) -> tuple:
     )
 
 
+def _scipy_symmetric(M) -> bool:
+    """Exact symmetry of a host sparse matrix (setup-time, O(nnz))."""
+    d = (M - M.T).tocoo()
+    return bool(d.nnz == 0 or np.all(d.data == 0))
+
+
 def dia_from_scipy(M, dtype=None, offsets=None, use_pallas: bool = False,
                    mesh=None, pad_to: int = 1) -> DiaOp:
     """Convert a scipy sparse matrix to `DiaOp` (host-side, setup only).
@@ -496,7 +509,7 @@ def dia_from_scipy(M, dtype=None, offsets=None, use_pallas: bool = False,
     data, data_t = _dia_arrays(M, offs, n, N, dtype)
     return DiaOp(data=jnp.asarray(data), data_t=jnp.asarray(data_t),
                  offsets=offs, n=n, nnz_=int(M.nnz), use_pallas=use_pallas,
-                 mesh=mesh)
+                 mesh=mesh, symmetric=_scipy_symmetric(M))
 
 
 def dia_pencil(E, A, dtype=None, use_pallas: bool = False, mesh=None,
@@ -547,6 +560,9 @@ def dia_lin_comb(A: DiaOp, c, E: DiaOp) -> DiaOp:
         data_t=A.data_t.astype(dt) + c * E.data_t.astype(dt),
         offsets=A.offsets, n=A.n, nnz_=A.nnz_, use_pallas=A.use_pallas,
         mesh=A.mesh,
+        symmetric=(True if (A.symmetric is True and E.symmetric is True)
+                   else (False if (A.symmetric is False
+                                   or E.symmetric is False) else None)),
     )
 
 
@@ -555,7 +571,8 @@ def dia_scale(A: DiaOp, c) -> DiaOp:
     dt = jnp.result_type(A.dtype, c.dtype)
     return DiaOp(data=c * A.data.astype(dt), data_t=c * A.data_t.astype(dt),
                  offsets=A.offsets, n=A.n, nnz_=A.nnz_,
-                 use_pallas=A.use_pallas, mesh=A.mesh)
+                 use_pallas=A.use_pallas, mesh=A.mesh,
+                 symmetric=A.symmetric)
 
 
 def shifted_dia(E: DiaOp, A: DiaOp, mu) -> DiaOp:
