@@ -289,7 +289,8 @@ def _heuristic_shifts(strategy: Heuristic, E, A) -> list:
 
 
 def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
-                          B=None, K=None, lu_cache: dict = None):
+                          B=None, K=None, lu_cache: dict = None,
+                          warm_start: bool = False):
     """Penzl heuristic shifts computed entirely on the host with SciPy
     sparse LU — setup-time helper for compiled/TPU sweeps where the
     device-orchestrated Arnoldi would cost one tunnel round trip per step.
@@ -304,7 +305,14 @@ def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
     ``lu_cache``: optional dict reused across calls with the same pencil
     (Newton shift rebuilds): the open-loop LUs of ``E``/``A`` are constant
     — only the SMW correction depends on ``K`` — so rebuilds skip the two
-    `splu` factorizations."""
+    `splu` factorizations.
+
+    ``warm_start``: start each Arnoldi from the previous call's dominant
+    Ritz vector (stored in ``lu_cache``) instead of the all-ones vector —
+    the closed-loop Ritz data moves smoothly with ``K`` across Newton
+    rebuilds, so a restarted subspace recovers the extremal values at
+    reduced depth (pass smaller ``kp``/``km``).  Falls back to all-ones
+    when no previous vector is cached."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -317,9 +325,13 @@ def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
         B = np.asarray(B, np.float64)
         K = np.asarray(K, np.float64)
 
-    def arnoldi(matvec, k, desc):
+    def arnoldi(matvec, k, desc, cache_key):
         H = np.zeros((k + 1, k))
-        b0 = np.ones(n)
+        b0 = None
+        if warm_start and lu_cache is not None:
+            b0 = lu_cache.get(cache_key)
+        if b0 is None:
+            b0 = np.ones(n)
         V = [b0 / np.linalg.norm(b0)]
         for j in range(k):
             w = matvec(V[j])
@@ -335,7 +347,15 @@ def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
                 H = H[: k + 1, :k]
                 break
             V.append(w / beta)
-        ritz = np.linalg.eigvals(H[:k, :k])
+        ritz, vecs = np.linalg.eig(H[:k, :k])
+        if lu_cache is not None:
+            # Dominant Ritz vector lifted to R^n — the warm start for the
+            # next rebuild's restarted Arnoldi.
+            dom = int(np.argmax(np.abs(ritz)))
+            y = np.real(np.column_stack(V[:k]) @ vecs[:, dom])
+            ny = np.linalg.norm(y)
+            if np.isfinite(ny) and ny > 0:
+                lu_cache[cache_key] = y / ny
         return stabilize_ritz_values(ritz, desc)
 
     if lu_cache is not None and "luE" in lu_cache:
@@ -362,8 +382,8 @@ def heuristic_shifts_host(E_sparse, A_sparse, nshifts: int, kp: int, km: int,
             return y + AinvB @ (Sinv @ (K @ y))
 
         descs = ("E⁻¹F", "F⁻¹E")
-    Rp = arnoldi(fwd, kp, descs[0])
-    Rm = arnoldi(bwd, km, descs[1])
+    Rp = arnoldi(fwd, kp, descs[0], "warm_fwd")
+    Rm = arnoldi(bwd, km, descs[1], "warm_bwd")
     R = np.concatenate([Rp, 1.0 / Rm])
     return heuristic(R, nshifts)
 

@@ -140,6 +140,25 @@ def test_pair_adi_closed_loop_smw():
     assert err / np.linalg.norm(X_ref) < 1e-8
 
 
+def test_pair_buffer_requires_banded_core():
+    """A pair-encoded buffer with genuine conjugate pairs on a non-banded
+    (dense) core must raise at solver-build time: dense `ShiftLUs` have no
+    pair tables and `adi_compiled` would silently degrade the complex
+    slots (ADVICE r4)."""
+    import pytest
+
+    from differentialriccatiequations_jl_tpu.models.compiled import (
+        build_step_shift_solvers, pair_encode_shifts)
+    from differentialriccatiequations_jl_tpu.ops.operators import as_operator
+
+    E, A, E_op, A_op, sv, G, S, Clr = _conv_diff_setup()
+    shifts_p = pair_encode_shifts(np.asarray(sv))
+    Ed = as_operator(jnp.asarray(E.toarray()))
+    Ad = as_operator(jnp.asarray(A.toarray()))
+    with pytest.raises(ValueError, match="banded"):
+        build_step_shift_solvers(Ed, Ad, shifts_p)
+
+
 def test_pair_beats_real_substitution():
     """The iteration-count penalty of the old real-substitution fallback on
     a genuinely complex spectrum — the measured justification for the pair

@@ -57,9 +57,13 @@ res0 = residual_gale_lowrank(E_op, A_op, Cfac, X0, r_out=cfg.r_res)
 norm_c = float(lr_norm(Cfac))
 abstol = n * float(jnp.finfo(dt).eps) * norm_c
 
+# Stop the iteration at half the documented tolerance: the incrementally
+# tracked f32 residual runs ~1.2-1.6x below the from-scratch recompute
+# (measured on chip, round 5: tracked 3.3e-5 vs true 5.2e-5), so the
+# margin makes the TRUE residual meet the documented n*eps bound.
 W0 = _masked_cols(res0.L, res0.k)
 X, W, iters, res = adi_compiled(E_op, A_op, W0, res0.D, res0.k, X0, shifts,
-                                jnp.asarray(abstol, dt), cfg, lus)
+                                jnp.asarray(0.5 * abstol, dt), cfg, lus)
 jax.block_until_ready(X.L)
 # true residual recomputed from scratch at the returned iterate
 true_res = float(lr_norm(residual_gale_lowrank(E_op, A_op, Cfac, X,
@@ -95,6 +99,7 @@ def test_compiled_gale_on_chip():
     assert payload["rel_res_true"] <= payload["rel_tol"], payload
     # the tracked (incrementally-updated) residual must agree with the truth
     assert payload["rel_res_tracked"] <= 5 * payload["rel_tol"], payload
+    print(f"[tpu gale] {payload}")
 
 
 _PAIR_SCRIPT = r"""
