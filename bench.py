@@ -965,6 +965,7 @@ def substage_northstar():
     if info["converged"]:
         extra["newton_gare_wall_s_n79841"] = t2 - t1
         extra["newton_gare_iters_n79841"] = info["newton_steps"]
+        extra["newton_gare_shift_rebuilds_n79841"] = info["shift_rebuilds"]
         extra["newton_gare_final_rel_res_n79841"] = rel_res
     else:
         extra["newton_gare_failed_n79841"] = True
