@@ -1560,7 +1560,7 @@ def solve_gare_newton_compiled(prob, *, shifts, cfg: CompiledConfig,
             # effective, keeps the pre-r5 policy there).
             last_iters = adi_iters[-1] if adi_iters else None
             still_effective = (last_iters is not None
-                               and 0 < last_iters <= 4 and not just_staged)
+                               and 0 < last_iters <= 5 and not just_staged)
             if lus is None or (feedback_matters and not still_effective
                                and (
                     stale_rel == float("inf") or stale_rel > 1.0
