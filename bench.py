@@ -1289,10 +1289,11 @@ def main():
         rep.substage("parareal_cpu", est=200, cap=300, env={
             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
     if os.environ.get("BENCH_PARAREAL", "1") != "0":
-        # Cold-compiles two solver families and runs each twice: only fits
-        # an extended budget (RECORDED_RESULTS.json carries the in-session
-        # measurement either way).
-        rep.substage("parareal", est=520, cap=650)
+        # Cold-compiles two solver families (~4 min total after the
+        # round-5 module-level-jit fix; was 520s+ when every solve
+        # recompiled its closures); RECORDED_RESULTS.json carries the
+        # in-session measurement when the budget cannot fit it.
+        rep.substage("parareal", est=250, cap=330)
     if os.environ.get("BENCH_MIXED", "1") != "0":
         # f64-emulated programs: >20 min compile on this platform — a live
         # attempt only under an explicitly extended budget; the committed

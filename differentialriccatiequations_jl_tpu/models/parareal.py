@@ -98,6 +98,50 @@ def _boundary_delta(X: LowRank, Y: LowRank, capacity: int):
     return lr_norm(lr_sub(X, Y, r_out=2 * capacity))
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_fine", "with_states"))
+def _fine_sweep_compiled(E, A, B, C, Xb, tau_f, shifts, abstol, cfg, lus,
+                         n_fine: int, with_states: bool = False):
+    """All slabs advanced ``n_fine`` steps; per-step feedbacks collected.
+
+    `lax.scan` over fine steps of a `vmap` over slabs: one compiled
+    program, slab axis partitionable by the mesh (no cross-slab ops).
+    ``with_states``: also stack the per-step states (save_state).
+
+    Module-level jit on purpose: as a closure inside the solver this
+    recompiled on EVERY `solve_gdre_parareal` call (jit caches key on the
+    function object) — the round-4/5 "warm" parareal walls were ~95%
+    recompilation (measured 55.8 s warm at n=1357, S=8; dispatch cost is
+    ~1 s)."""
+    from .compiled import ros1_step_compiled
+
+    def step(X):
+        return ros1_step_compiled(E, A, B, C, X, tau_f, shifts, abstol,
+                                  cfg, lus)
+
+    def body(Xb, _):
+        Xb, Kb, it, res = jax.vmap(step)(Xb)
+        out = (Xb, Kb, it, res) if with_states else (Kb, it, res)
+        return Xb, out
+
+    Xb, outs = jax.lax.scan(body, Xb, None, length=n_fine)
+    if with_states:
+        Xs, Ks, its, ress = outs
+    else:
+        (Ks, its, ress), Xs = outs, None
+    return Xb, Xs, Ks, jnp.sum(its), jnp.max(ress)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _coarse_step_compiled(E, A, B, C, X, tau_c, cshifts, abstol, cfg, lus):
+    """One coarse Ros1 step (module-level jit — see `_fine_sweep_compiled`
+    for why this must not be a per-solve closure)."""
+    from .compiled import ros1_step_compiled
+
+    Xn, _, _, _ = ros1_step_compiled(E, A, B, C, X, tau_c, cshifts, abstol,
+                                     cfg, lus)
+    return Xn
+
+
 def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
                         alg: Parareal | None = None,
                         slabs: int | None = None,
@@ -130,7 +174,6 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
         build_step_shift_solvers,
         check_shift_pairing,
         encode_shifts_for_operator,
-        ros1_step_compiled,
     )
     from .problems import DRESolution
     from .rosenbrock_lowrank import time_grid
@@ -181,35 +224,14 @@ def solve_gdre_parareal(prob, *, dt: float, shifts, cfg,
     tau_f_d = jnp.asarray(tau_f, B.dtype)
     tau_c_d = jnp.asarray(tau_c, B.dtype)
 
-    def _fine_step(X):
-        return ros1_step_compiled(E, A, B, C, X, tau_f_d, shifts,
-                                  abstol_d, cfg, lus_f)
-
-    @jax.jit
     def _coarse_step(X):
-        Xn, _, _, _ = ros1_step_compiled(E, A, B, C, X, tau_c_d, cshifts,
-                                         abstol_d, cfg, lus_c)
-        return Xn
+        return _coarse_step_compiled(E, A, B, C, X, tau_c_d, cshifts,
+                                     abstol_d, cfg, lus_c)
 
-    @partial(jax.jit, static_argnames=("with_states",))
     def _fine_sweep(Xb, with_states: bool = False):
-        """All slabs advanced n_fine steps; per-step feedbacks collected.
-
-        `lax.scan` over fine steps of a `vmap` over slabs: one compiled
-        program, slab axis partitionable by the mesh (no cross-slab ops).
-        ``with_states``: also stack the per-step states (save_state)."""
-
-        def body(Xb, _):
-            Xb, Kb, it, res = jax.vmap(_fine_step)(Xb)
-            out = (Xb, Kb, it, res) if with_states else (Kb, it, res)
-            return Xb, out
-
-        Xb, outs = jax.lax.scan(body, Xb, None, length=n_fine)
-        if with_states:
-            Xs, Ks, its, ress = outs
-        else:
-            (Ks, its, ress), Xs = outs, None
-        return Xb, Xs, Ks, jnp.sum(its), jnp.max(ress)
+        return _fine_sweep_compiled(E, A, B, C, Xb, tau_f_d, shifts,
+                                    abstol_d, cfg, lus_f, n_fine,
+                                    with_states)
 
 
     sharding = None
