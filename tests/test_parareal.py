@@ -124,6 +124,28 @@ def test_parareal_solve_dispatch():
     assert sol.parareal_info["slabs"] == 2
 
 
+def test_parareal_no_recompile_across_solves():
+    """A second identical solve must hit the jit cache of the fine-sweep
+    and coarse-step programs.  Regression: these were per-solve closures,
+    so every 'warm' solve recompiled both programs — 96% of the recorded
+    round-4/5 wall (55.8s -> 2.06s on chip after hoisting them to module
+    level)."""
+    from differentialriccatiequations_jl_tpu.models.parareal import (
+        _coarse_step_compiled,
+        _fine_sweep_compiled,
+    )
+
+    prob, shifts, tau = _setup(nsteps=4)
+    kw = dict(dt=-tau, shifts=shifts, cfg=CFG, capacity=96, abstol=1e-13,
+              alg=Parareal(slabs=2, max_iters=1))
+    solve_gdre_parareal(prob, **kw)
+    n_fine = _fine_sweep_compiled._cache_size()
+    n_coarse = _coarse_step_compiled._cache_size()
+    solve_gdre_parareal(prob, **kw)
+    assert _fine_sweep_compiled._cache_size() == n_fine
+    assert _coarse_step_compiled._cache_size() == n_coarse
+
+
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
 def test_parareal_sharded_slab_axis_matches_single_device():
     """Slab axis sharded over a 4-device mesh (each device owns one time
